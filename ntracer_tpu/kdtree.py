@@ -1,0 +1,531 @@
+"""Exact AABB-primitive tests and the SAH k-d tree builder.
+
+Host-side (NumPy) port of the reference build pipeline:
+  - separating-axis AABB/triangle tests  tracer.hpp:1465-1541
+  - batch variants                        tracer.hpp:1543-1627
+  - AABB/solid tests                      tracer.hpp:1629-1675
+  - SAH split search                      tracer.hpp:1965-2054
+  - node partitioning                     tracer.hpp:2284-2354
+  - greedy triangle batching              tracer.hpp:2357-2427
+  - build_kdtree                          tracer.hpp:2431-2455
+
+The output feeds both the Python KD node objects (oracle traversal) and the
+flattened device arrays for the TPU engine.  The reference parallelizes the
+build with a worker pool (tracer.hpp:2131-2271); here the build is a single
+host pass (an optional C++ builder is planned for large scenes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import _vecmath as vm
+from .primitives import (TrianglePrototype, TriangleBatchPrototype,
+                         SolidPrototype, CUBE, SPHERE)
+from .api import BATCH_SIZE
+
+f32 = np.float32
+
+KD_DEFAULT_MAX_DEPTH = 25  # tracer.hpp:41 (batched variant)
+KD_DEFAULT_SPLIT_THRESHOLD = 2  # tracer.hpp:44
+
+
+def default_cost_traversal(d: int) -> float:
+    # tracer.hpp:1933-1941
+    return {3: 0.0, 4: 1.0, 5: 8.0, 6: 500.0}.get(d, 700.0)
+
+
+def default_cost_intersection(d: int) -> float:
+    # tracer.hpp:1943-1948
+    return 0.5 if d == 3 else 0.1
+
+
+def _skip_dot(a, b, skip):
+    """Dot product excluding one component (tracer.hpp:1448-1456)."""
+    tot = f32(0)
+    for i in range(a.shape[0]):
+        if i != skip:
+            tot += a[i] * b[i]
+    return tot
+
+
+def _tri_axes(proto):
+    """Edge-normal axes in item order: first_edge_normal, then the stored
+    edge normals (items()[i].edge_normal layout)."""
+    tri = proto.primitive
+    yield proto._first_edge_normal
+    for i in range(tri._en.shape[0]):
+        yield tri._en[i]
+
+
+def _aabb_tri(start, end, proto: TrianglePrototype) -> bool:
+    """tracer.hpp:1465-1512."""
+    tb = proto.boundary
+    if np.any(tb._start >= end) or np.any(tb._end <= start):
+        return False
+
+    d = start.shape[0]
+    tri = proto.primitive
+    pts = proto._points  # (d, d)
+    n_offset = vm.dot(tri._fn, pts[0])
+    origin = ((start + end) * f32(0.5)).astype(f32)
+    po = vm.dot(origin, tri._fn)
+    b_max = f32(np.sum(np.abs((end - start) / 2 * tri._fn)))
+    b_min = po - b_max
+    b_max += po
+    if b_max < n_offset or b_min > n_offset:
+        return False
+
+    half = ((end - start) / 2).astype(f32)
+    for axis in _tri_axes(proto):
+        for j in range(d):
+            vals = np.asarray([_skip_dot(p, axis, j) for p in pts], dtype=f32)
+            t_min = vals.min()
+            t_max = vals.max()
+            po = _skip_dot(origin, axis, j)
+            b_radius = f32(0)
+            for k in range(d):
+                if k != j:
+                    b_radius += abs(half[k] * axis[k])
+            b_min = po - b_radius
+            b_max = po + b_radius
+            # if b_radius is 0 the axis is parallel to the skipped dimension
+            # and the test is invalid
+            if b_radius != 0 and (b_max <= t_min or b_min >= t_max):
+                return False
+    return True
+
+
+def _aabb_tri_flat(start, end, proto: TrianglePrototype, skip: int) -> bool:
+    """tracer.hpp:1514-1541."""
+    d = start.shape[0]
+    tb = proto.boundary
+    for i in range(d):
+        if i != skip and (tb._start[i] >= end[i] or tb._end[i] <= start[i]):
+            return False
+
+    origin = ((start + end) * f32(0.5)).astype(f32)
+    pts = proto._points
+    half = ((end - start) / 2).astype(f32)
+    for i, axis in enumerate(_tri_axes(proto)):
+        t_max = _skip_dot(pts[0], axis, skip)
+        t_min = _skip_dot(pts[i if i else 1], axis, skip)
+        if t_min > t_max:
+            t_max, t_min = t_min, t_max
+        po = _skip_dot(origin, axis, skip)
+        b_max = f32(0)
+        for k in range(d):
+            if k != skip:
+                b_max += abs(half[k] * axis[k])
+        b_min = po - b_max
+        b_max += po
+        if b_max <= t_min or b_min >= t_max:
+            return False
+    return True
+
+
+def _batch_axes(proto: TriangleBatchPrototype):
+    batch = proto.primitive
+    yield proto._first_edge_normal  # (B, d)
+    for i in range(batch._en.shape[0]):
+        yield batch._en[i]  # (B, d)
+
+
+def _skip_dot_b(a, b, skip):
+    """Lane-wise skip-dot for (B, d) arrays."""
+    m = a * b
+    return (m.sum(axis=-1) - m[..., skip]).astype(f32)
+
+
+def _aabb_tri_batch(start, end, proto: TriangleBatchPrototype) -> bool:
+    """tracer.hpp:1543-1591 — true unless every lane misses."""
+    tb = proto.boundary
+    if np.any(tb._start >= end) or np.any(tb._end <= start):
+        return False
+
+    d = start.shape[0]
+    batch = proto.primitive
+    pts = proto._points  # (d, B, d)
+    n_offset = np.einsum("bd,bd->b", batch._fn, pts[0]).astype(f32)
+    origin = ((start + end) * f32(0.5)).astype(f32)
+    po = (batch._fn @ origin).astype(f32)
+    b_max = np.sum(np.abs((end - start) / 2 * batch._fn), axis=1).astype(f32)
+    b_min = po - b_max
+    b_max = b_max + po
+    miss = (b_max < n_offset) | (b_min > n_offset)
+    if miss.all():
+        return False
+
+    half = ((end - start) / 2).astype(f32)
+    for axis in _batch_axes(proto):  # (B, d)
+        for j in range(d):
+            vals = np.stack([_skip_dot_b(p, axis, j) for p in pts])  # (d, B)
+            t_min = vals.min(axis=0)
+            t_max = vals.max(axis=0)
+            po = _skip_dot_b(origin[None, :], axis, j)
+            b_radius = np.zeros(axis.shape[0], dtype=f32)
+            for k in range(d):
+                if k != j:
+                    b_radius += np.abs(half[k] * axis[:, k])
+            b_min = po - b_radius
+            b_max = po + b_radius
+            miss = miss | ((b_radius != 0) & ((b_max <= t_min) | (b_min >= t_max)))
+            if miss.all():
+                return False
+    return True
+
+
+def _aabb_tri_batch_flat(start, end, proto, skip: int) -> bool:
+    """tracer.hpp:1593-1627."""
+    d = start.shape[0]
+    tb = proto.boundary
+    for i in range(d):
+        if i != skip and (tb._start[i] >= end[i] or tb._end[i] <= start[i]):
+            return False
+
+    origin = ((start + end) * f32(0.5)).astype(f32)
+    pts = proto._points
+    half = ((end - start) / 2).astype(f32)
+    miss = np.zeros(pts.shape[1], dtype=bool)
+    for i, axis in enumerate(_batch_axes(proto)):
+        tmp1 = _skip_dot_b(pts[0], axis, skip)
+        tmp2 = _skip_dot_b(pts[i if i else 1], axis, skip)
+        t_max = np.maximum(tmp1, tmp2)
+        t_min = np.minimum(tmp1, tmp2)
+        po = _skip_dot_b(origin[None, :], axis, skip)
+        b_max = np.zeros(axis.shape[0], dtype=f32)
+        for k in range(d):
+            if k != skip:
+                b_max += np.abs(half[k] * axis[:, k])
+        b_min = po - b_max
+        b_max = b_max + po
+        miss = miss | (b_max <= t_min) | (b_min >= t_max)
+        if miss.all():
+            return False
+    return True
+
+
+def _box_axis_test(solid, start, end, axis) -> bool:
+    """tracer.hpp:1629-1639 — true when separated."""
+    a_po = vm.dot(solid._position, axis)
+    center = ((start + end) * f32(0.5)).astype(f32)
+    b_po = vm.dot(center, axis)
+    a_max = f32(0)
+    for i in range(start.shape[0]):
+        a_max += abs(vm.dot(solid._orientation[:, i], axis))
+    b_max = f32(np.sum(np.abs((end - start) / 2 * axis)))
+    return b_po + b_max < a_po - a_max or b_po - b_max > a_po + a_max
+
+
+def _aabb_solid(start, end, proto: SolidPrototype) -> bool:
+    """tracer.hpp:1641-1675."""
+    solid = proto.primitive
+    d = start.shape[0]
+    if solid.type == CUBE:
+        if np.any(end <= proto.boundary._start) or np.any(start >= proto.boundary._end):
+            return False
+        for i in range(d):
+            normal = solid._inv_orientation[i].copy()
+            if _box_axis_test(solid, start, end, normal):
+                return False
+            # project the normal onto each orthogonal hyperplane
+            nsq = vm.square(normal)
+            for j in range(d):
+                axis = (normal * -normal[j]).astype(f32)
+                axis[j] += nsq
+                if _box_axis_test(solid, start, end, axis):
+                    return False
+        return True
+
+    assert solid.type == SPHERE
+    center = ((start + end) * f32(0.5)).astype(f32)
+    box_p = (solid._position - solid._inv_orientation @ center).astype(f32)
+    closest = np.zeros(d, dtype=f32)
+    for i in range(d):
+        component = (solid._orientation[i] * ((end[i] - start[i]) / 2)).astype(f32)
+        c = vm.dot(box_p, component) / vm.square(component)
+        c = f32(min(max(c, -1.0), 1.0))
+        closest += c * component
+    return vm.square((solid._position - closest).astype(f32)) < 1
+
+
+def aabb_intersects_prototype(start, end, proto) -> bool:
+    if isinstance(proto, TrianglePrototype):
+        return _aabb_tri(start, end, proto)
+    if isinstance(proto, TriangleBatchPrototype):
+        return _aabb_tri_batch(start, end, proto)
+    if isinstance(proto, SolidPrototype):
+        return _aabb_solid(start, end, proto)
+    raise TypeError("object must be an instance of PrimitivePrototype")
+
+
+def aabb_intersects_flat(start, end, proto, skip: int) -> bool:
+    if isinstance(proto, TrianglePrototype):
+        return _aabb_tri_flat(start, end, proto, skip)
+    if isinstance(proto, TriangleBatchPrototype):
+        return _aabb_tri_batch_flat(start, end, proto, skip)
+    raise TypeError("object must be a triangle prototype")
+
+
+# ---------------------------------------------------------------------------
+# SAH split search (tracer.hpp:1965-2054)
+# ---------------------------------------------------------------------------
+
+class KDTreeParams:
+    def __init__(self, dimension, max_depth=None, split_threshold=None,
+                 traversal=None, intersection=None):
+        self.max_depth = KD_DEFAULT_MAX_DEPTH if max_depth is None else int(max_depth)
+        self.split_threshold = (KD_DEFAULT_SPLIT_THRESHOLD if split_threshold is None
+                                else int(split_threshold))
+        self.traversal = f32(default_cost_traversal(dimension)
+                             if traversal is None else traversal)
+        self.intersection = f32(default_cost_intersection(dimension)
+                                if intersection is None else intersection)
+
+
+def find_split(b_start, b_end, axis, contain_p, overlap_p, params):
+    """Returns (found, pos).  Sweep over sorted start/end events."""
+    d = b_start.shape[0]
+    best_cost = f32(np.finfo(np.float32).max)
+    pos = f32(0)
+
+    cube_range = (b_end - b_start).astype(f32)
+    side_area = f32(1)
+    for i in range(d):
+        if i != axis:
+            side_area *= cube_range[i]
+
+    shaft_area_factor = f32(0)
+    for i in range(d):
+        if i != axis:
+            tmp = f32(1)
+            for j in range(d):
+                if j != i and j != axis:
+                    tmp *= cube_range[j]
+            shaft_area_factor += tmp
+
+    area = side_area + shaft_area_factor * cube_range[axis]
+
+    def split_cost(l_count, r_count, split):
+        shaft_area = shaft_area_factor * (split - b_start[axis])
+        l_area = side_area + shaft_area
+        r_area = area - shaft_area
+        return (params.traversal + params.intersection
+                * (l_area / area * f32(l_count) + r_area / area * f32(r_count)))
+
+    search = list(contain_p) + list(overlap_p)
+    n = len(search)
+    starts = np.asarray([p.boundary._start[axis] for p in search], dtype=f32)
+    ends = np.asarray([p.boundary._end[axis] for p in search], dtype=f32)
+    l_order = np.argsort(starts, kind="stable")
+    r_order = np.argsort(ends, kind="stable")
+    s_sorted = starts[l_order]
+    e_sorted = ends[r_order]
+
+    il = 1
+    ir = 0
+    last_split = s_sorted[0]
+    last_il = 0
+    found = False
+    while il < n:
+        split = min(s_sorted[il], e_sorted[ir])
+        # not an optimization: needed for correct l/r counts
+        if split != last_split:
+            if b_end[axis] > last_split > b_start[axis]:
+                cost = split_cost(last_il, n - ir, last_split)
+                if cost < best_cost:
+                    best_cost = cost
+                    pos = last_split
+                    found = True
+            last_il = il
+            last_split = split
+        if s_sorted[il] <= e_sorted[ir]:
+            il += 1
+        else:
+            ir += 1
+
+    while ir < n:
+        split = e_sorted[ir]
+        if split != last_split:
+            if b_end[axis] > last_split > b_start[axis]:
+                cost = split_cost(n, n - ir, last_split)
+                if cost < best_cost:
+                    best_cost = cost
+                    pos = last_split
+                    found = True
+            last_split = split
+        ir += 1
+
+    compare = f32(n)
+    for i in range(d):
+        compare *= b_end[i] - b_start[i]
+    return (found and best_cost < compare), pos
+
+
+def best_axis(b_start, b_end) -> int:
+    widths = b_end - b_start
+    return int(np.argmax(widths == widths.max()) if False else np.argmax(widths))
+
+
+def _is_flat_skip(proto):
+    """Flat-primitive axis handling (tracer.hpp:2326-2334)."""
+    if isinstance(proto, (TrianglePrototype, TriangleBatchPrototype)):
+        b = proto.boundary
+        for i in range(b._start.shape[0]):
+            if b._start[i] == b._end[i]:
+                return i
+    return -1
+
+
+def _overlap_intersects(b_start, b_end, proto, skip, axis, right) -> bool:
+    """tracer.hpp:2070-2087."""
+    if skip < 0:
+        return aabb_intersects_prototype(b_start, b_end, proto)
+    if skip == axis:
+        if right:
+            return proto.boundary._start[axis] >= b_start[axis]
+        return proto.boundary._start[axis] < b_end[axis]
+    return aabb_intersects_flat(b_start, b_end, proto, skip)
+
+
+def create_node(depth, b_start, b_end, contain_p, overlap_p, params, make_leaf,
+                make_branch):
+    """Recursive SAH build (tracer.hpp:2284-2354).
+
+    ``make_leaf(protos)`` and ``make_branch(axis, split, left, right)``
+    construct the output nodes, decoupling the builder from the node
+    representation (Python KD objects or flat arrays).
+    """
+    depth += 1
+    axis = best_axis(b_start, b_end)
+    if not contain_p and not overlap_p:
+        return None
+
+    do_leaf = (depth >= params.max_depth
+               or len(contain_p) + len(overlap_p) <= params.split_threshold)
+    split = None
+    if not do_leaf:
+        found, split = find_split(b_start, b_end, axis, contain_p, overlap_p, params)
+        do_leaf = not found
+    if do_leaf:
+        return make_leaf(list(contain_p) + list(overlap_p))
+
+    l_contain, r_contain = [], []
+    l_overlap, r_overlap = [], []
+
+    for p in contain_p:
+        if p.boundary._start[axis] < split:
+            if p.boundary._end[axis] <= split:
+                l_contain.append(p)
+            else:
+                l_overlap.append(p)
+                r_overlap.append(p)
+        else:
+            r_contain.append(p)
+
+    lb_end = b_end.copy()
+    lb_end[axis] = split
+    rb_start = b_start.copy()
+    rb_start[axis] = split
+
+    for p in overlap_p:
+        skip = _is_flat_skip(p)
+        if _overlap_intersects(b_start, lb_end, p, skip, axis, False):
+            l_overlap.append(p)
+            if _overlap_intersects(rb_start, b_end, p, skip, axis, True):
+                r_overlap.append(p)
+        else:
+            r_overlap.append(p)
+
+    left = create_node(depth, b_start, lb_end, l_contain, l_overlap, params,
+                       make_leaf, make_branch)
+    right = create_node(depth, rb_start, b_end, r_contain, r_overlap, params,
+                        make_leaf, make_branch)
+    return make_branch(axis, split, left, right)
+
+
+# ---------------------------------------------------------------------------
+# Greedy triangle batching (tracer.hpp:2357-2427)
+# ---------------------------------------------------------------------------
+
+def grouping_metric(a, b) -> float:
+    combined = (np.maximum(a.boundary._end, b.boundary._end)
+                - np.minimum(a.boundary._start, b.boundary._start)).astype(f32)
+    d = combined.shape[0]
+    m = f32(0)
+    for i in range(d):
+        surface = f32(1)
+        for j in range(d):
+            if i != j:
+                surface *= combined[j]
+        m += surface
+    return float(m)
+
+
+def group_primitives(primitives):
+    """Greedy grouping of TrianglePrototypes into TriangleBatchPrototypes
+    minimizing combined-AABB surface.  Returns a new list."""
+    if BATCH_SIZE <= 1 or not primitives:
+        return list(primitives)
+
+    b_start = primitives[0].boundary._start.copy()
+    b_end = primitives[0].boundary._end.copy()
+    for p in primitives[1:]:
+        b_start = np.minimum(b_start, p.boundary._start)
+        b_end = np.maximum(b_end, p.boundary._end)
+    axis = best_axis(b_start, b_end)
+
+    items = sorted(primitives,
+                   key=lambda p: float((p.boundary._start[axis]
+                                        + p.boundary._end[axis]) * 0.5))
+    items = list(items)
+
+    # The reference scans every remaining prototype for each pivot (an O(n^2)
+    # pass, tracer.hpp:2406-2423).  After the center sort, good batch mates
+    # are nearby, so we bound the scan to a window; this only affects batch
+    # quality (performance), never correctness.
+    WINDOW = 96
+    for pi in range(len(items)):
+        p = items[pi]
+        if p is None or not isinstance(p, TrianglePrototype):
+            continue
+        # candidates: (metric, index), sorted by metric, take BATCH_SIZE-1
+        cand = []
+        pj = pi + 1
+        remaining = 0
+        while pj < len(items) and remaining < WINDOW:
+            q = items[pj]
+            if q is not None and isinstance(q, TrianglePrototype):
+                cand.append((grouping_metric(p, q), pj))
+                remaining += 1
+            pj += 1
+        if len(cand) < BATCH_SIZE - 1:
+            break
+        cand.sort(key=lambda x: x[0])
+        chosen = [pi] + [j for _, j in cand[:BATCH_SIZE - 1]]
+        batch = TriangleBatchPrototype([items[j] for j in chosen])
+        items[pi] = batch
+        for j in chosen[1:]:
+            items[j] = None
+
+    return [p for p in items if p is not None]
+
+
+def build_tree(prototypes, params: KDTreeParams, make_leaf, make_branch,
+               group=True):
+    """Merge AABBs, group into batches, run the SAH build.
+
+    Returns ``(b_start, b_end, root, grouped_prototypes)``.
+    """
+    if not prototypes:
+        raise ValueError("cannot build tree from empty sequence")
+    b_start = prototypes[0].boundary._start.copy()
+    b_end = prototypes[0].boundary._end.copy()
+    for p in prototypes[1:]:
+        b_start = np.minimum(b_start, p.boundary._start)
+        b_end = np.maximum(b_end, p.boundary._end)
+
+    grouped = group_primitives(prototypes) if group else list(prototypes)
+    root = create_node(-1, b_start.copy(), b_end.copy(), grouped, [], params,
+                       make_leaf, make_branch)
+    return b_start, b_end, root, grouped

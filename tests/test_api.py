@@ -1,0 +1,360 @@
+"""API tests ported from the reference suite
+(/root/reference/lib/ntracer/tests/test.py) — same cases, same
+generic/specialized duality (every geometry test runs with the fixed-d and
+the force_generic module paths).
+"""
+
+import pickle
+import random
+
+import pytest
+
+from ntracer_tpu.wrapper import NTracer, CUBE, SPHERE
+from ntracer_tpu.render import Material, Color
+
+
+def pydot(a, b):
+    return sum(ia * ib for ia, ib in zip(a, b))
+
+
+def rand_vector(nt, lo=-1000, hi=1000):
+    return nt.Vector([random.uniform(lo, hi) for _ in range(nt.dimension)])
+
+
+def rand_triangle_verts(nt):
+    points = []
+    d = nt.dimension
+    for i in range(d):
+        points.append(nt.Vector(
+            [random.uniform(-10, 10) for _ in range(0, i)]
+            + [random.uniform(1, 10)]
+            + [0 for _ in range(i + 1, d)]))
+    return points
+
+
+@pytest.fixture(params=[False, True], ids=["specialized", "generic"])
+def generic(request):
+    return request.param
+
+
+def get_nt(d, generic=False):
+    return NTracer(d, generic)
+
+
+def assert_vector_almost_equal(va, vb, places=4):
+    assert len(va) == len(vb)
+    for a, b in zip(va, vb):
+        assert abs(a - b) < 10 ** -places
+
+
+def test_simd():
+    d = 64
+    while d > 4:
+        nt = get_nt(d)
+        a = nt.Vector(range(d))
+        b = nt.Vector(x + 12 for x in range(d - 1, -1, -1))
+        assert abs(nt.dot(a, b) - pydot(a, b)) / abs(pydot(a, b)) < 1e-4
+        d >>= 1
+
+
+def test_math(generic):
+    nt = get_nt(4, generic)
+    ma = nt.Matrix([[10, 2, 3, 4], [5, 6, 7, 8], [9, 10, 11, 12], [13, 14, 15, 16]])
+    mb = nt.Matrix([13, 6, 9, 6, 7, 3, 3, 13, 1, 11, 12, 7, 12, 15, 17, 15])
+    mx = ma * mb
+    my = nt.Matrix([195, 159, 200, 167, 210, 245, 283, 277, 342, 385, 447, 441,
+                    474, 525, 611, 605])
+    assert list(mx.values) == list(my.values)
+    assert_vector_almost_equal(list((mb * mb.inverse()).values),
+                               [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1])
+    assert_vector_almost_equal(nt.Vector(13, 2, 16, 14).unit(),
+                               [0.52, 0.08, 0.64, 0.56])
+
+
+def test_aabb(generic):
+    nt = get_nt(5, generic)
+    a = nt.AABB((1, 7, -5, 5, 4), (5, 13, -1, 6, 12))
+    assert a.dimension == 5
+    assert list(a.end) == [5, 13, -1, 6, 12]
+    assert list(a.start) == [1, 7, -5, 5, 4]
+    assert list(a.right(2, -3).start) == [1, 7, -3, 5, 4]
+    assert list(a.left(0, 2).end) == [2, 13, -1, 6, 12]
+
+
+def test_triangle(generic):
+    nt = get_nt(3, generic)
+    mat = Material((1, 1, 1))
+    box = nt.AABB((-1, -1, -1), (1, 1, 1))
+
+    assert not box.intersects(nt.TrianglePrototype([
+        (-2.092357, 0.1627209, 0.9231308),
+        (0.274588, 0.8528936, 2.309217),
+        (-1.212236, 1.855952, 0.3137006)], mat))
+
+    assert not box.intersects(nt.TrianglePrototype([
+        (2.048058, -3.022543, 1.447644),
+        (1.961913, -0.5438575, -0.1552723),
+        (0.3618142, -1.684767, 0.2162201)], mat))
+
+    assert not box.intersects(nt.TrianglePrototype([
+        (-4.335572, -1.690142, -1.302721),
+        (0.8976227, 0.5090631, 4.6815),
+        (-0.8176082, 4.334341, -1.763081)], mat))
+
+    assert box.intersects(nt.TrianglePrototype([
+        (0, 0, 0),
+        (5, 5, 5),
+        (1, 2, 3)], mat))
+
+    assert nt.AABB(
+        (-0.894424974918, -1.0, -0.850639998913),
+        (0.0, -0.447214990854, 0.850639998913)).intersects(
+            nt.TrianglePrototype([
+                (0.0, -1.0, 0.0),
+                (0.723599970341, -0.447214990854, 0.525720000267),
+                (-0.276385009289, -0.447214990854, 0.850639998913)], mat))
+
+    points = [rand_triangle_verts(nt) for _ in range(nt.BATCH_SIZE)]
+    max_v = min_v = points[0][0]
+    for tri in points:
+        for p in tri:
+            max_v = [max(a, b) for a, b in zip(max_v, p)]
+            min_v = [min(a, b) for a, b in zip(min_v, p)]
+    tbp = nt.TriangleBatchPrototype(nt.TrianglePrototype(tri, mat)
+                                    for tri in points)
+    assert_vector_almost_equal(tbp.boundary.start, min_v)
+    assert_vector_almost_equal(tbp.boundary.end, max_v)
+
+
+def test_cube(generic):
+    nt = get_nt(3, generic)
+    mat = Material((1, 1, 1))
+    box = nt.AABB((-1, -1, -1), (1, 1, 1))
+
+    assert not box.intersects(nt.SolidPrototype(
+        CUBE,
+        nt.Vector(1.356136, 1.717844, 1.577731),
+        nt.Matrix(-0.01922399, -0.3460019, 0.8615935,
+                  -0.03032121, -0.6326356, -0.5065715,
+                  0.03728577, -0.6928598, 0.03227519),
+        mat))
+
+    assert not box.intersects(nt.SolidPrototype(
+        CUBE,
+        nt.Vector(1.444041, 1.433598, 1.975453),
+        nt.Matrix(0.3780299, -0.3535482, 0.8556266,
+                  -0.7643852, -0.6406123, 0.07301452,
+                  0.5223108, -0.6816301, -0.5124177),
+        mat))
+
+    assert not box.intersects(nt.SolidPrototype(
+        CUBE,
+        nt.Vector(-0.31218, -3.436678, 1.473133),
+        nt.Matrix(0.8241131, -0.2224413, 1.540015,
+                  -1.461101, -0.7099018, 0.6793453,
+                  0.5350775, -1.595884, -0.516849),
+        mat))
+
+    assert not box.intersects(nt.SolidPrototype(
+        CUBE,
+        nt.Vector(0.7697315, -3.758033, 1.847144),
+        nt.Matrix(0.6002195, -1.608681, -0.3900863,
+                  -1.461104, -0.7098908, 0.6793506,
+                  -0.7779449, 0.0921175, -1.576897),
+        mat))
+
+    assert box.intersects(nt.SolidPrototype(
+        CUBE,
+        nt.Vector(0.4581598, -1.56134, 0.5541568),
+        nt.Matrix(0.3780299, -0.3535482, 0.8556266,
+                  -0.7643852, -0.6406123, 0.07301452,
+                  0.5223108, -0.6816301, -0.5124177),
+        mat))
+
+
+def test_sphere(generic):
+    nt = get_nt(3, generic)
+    mat = Material((1, 1, 1))
+    box = nt.AABB((-1, -1, -1), (1, 1, 1))
+
+    assert not box.intersects(nt.SolidPrototype(
+        SPHERE,
+        nt.Vector(-1.32138, 1.6959, 1.729396),
+        nt.Matrix.identity(),
+        mat))
+
+    assert box.intersects(nt.SolidPrototype(
+        SPHERE,
+        nt.Vector(1.623511, -1.521197, -1.243952),
+        nt.Matrix.identity(),
+        mat))
+
+
+def test_batch_interface(generic):
+    nt = get_nt(4, generic)
+
+    def lo():
+        return random.uniform(-1, 1)
+
+    def hi():
+        return random.uniform(9, 11)
+
+    protos = []
+    for i in range(nt.BATCH_SIZE):
+        protos.append(nt.TrianglePrototype([
+            (lo(), lo(), lo(), lo()),
+            (lo(), hi(), lo(), lo()),
+            (hi(), lo(), lo(), lo()),
+            (lo(), lo(), hi(), lo())], Material((1, 1, 1.0 / (i + 1)))))
+
+    bproto = nt.TriangleBatchPrototype(protos)
+    for i in range(nt.BATCH_SIZE):
+        assert protos[i].face_normal == bproto.face_normal[i]
+        for j in range(nt.dimension):
+            assert protos[i].point_data[j].point == bproto.point_data[j].point[i]
+            assert (protos[i].point_data[j].edge_normal
+                    == bproto.point_data[j].edge_normal[i])
+        assert protos[i].material is bproto.material[i]
+
+
+def test_buffer_interface(generic):
+    nt = get_nt(7, generic)
+    v = nt.Vector(1, 2, 3, 4, 5, 6, 7)
+    assert list(v) == list(memoryview(v))
+
+    c = Color(0.5, 0.1, 0)
+    assert list(c) == list(memoryview(c))
+
+
+def test_kdtree(generic):
+    nt = get_nt(3, generic)
+    mat = Material((1, 1, 1))
+    primitives = [
+        nt.Triangle(
+            (-1.1755770444869995, 0.3819499611854553, -1.6180520057678223),
+            (1.7082732915878296, -2.3512351512908936, 1.4531432390213013),
+            [(-0.615524172782898, -0.3236003816127777, 0.19999605417251587),
+             (0.49796950817108154, 0.0381958931684494, -0.5235964059829712)], mat),
+        nt.Triangle(
+            (-1.1755770444869995, 0.3819499611854553, -1.6180520057678223),
+            (1.0557708740234375, -1.4531433582305908, 0.8980922102928162),
+            [(-0.8057316541671753, -0.06180214881896973, 0.8471965789794922),
+             (0.19020742177963257, -0.2617982029914856, -0.6472004652023315)], mat),
+        nt.Triangle(
+            (0.7265498042106628, 0.9999955296516418, 1.6180428266525269),
+            (0, 1.7961481809616089, 0.8980742692947388),
+            [(-1.1135050058364868, -0.1618017703294754, 0.32360348105430603),
+             (0.6881839036941528, -0.09999901801347733, 0.19999800622463226)], mat),
+        nt.Triangle(
+            (0.7265498042106628, 0.9999955296516418, 1.6180428266525269),
+            (0, 2.90622878074646, 1.4531147480010986),
+            [(-0.4253210127353668, -0.26180076599121094, 0.5236014127731323),
+             (0.6881839036941528, 0.09999898821115494, -0.1999979317188263)], mat),
+        nt.Triangle(
+            (1.9021340608596802, 0.618022620677948, -0.3819592595100403),
+            (-1.055770754814148, -1.4531432390213013, 0.8980920910835266),
+            [(-0.30776214599609375, -0.42359834909439087, -1.0471925735473633),
+             (0.4979696571826935, -0.038195837289094925, 0.5235962867736816)], mat),
+        nt.Triangle(
+            (1.9021340608596802, 0.618022620677948, -0.3819592595100403),
+            (-1.7082730531692505, -2.3512353897094727, 1.4531434774398804),
+            [(0.19020749628543854, -0.4617941677570343, -0.5235962271690369),
+             (0.19020745158195496, 0.2617981433868408, 0.6472005844116211)], mat)]
+    scene = nt.CompositeScene(
+        nt.AABB(
+            (-1.710653305053711e-05, 0.618022620677948, -0.3819774389266968),
+            (0.7265291213989258, 2.000016689300537, 0.3819882869720459)),
+        nt.KDBranch(1, 2.0000057220458984,
+                    nt.KDBranch(1, 0.9999955296516418,
+                                None,
+                                nt.KDLeaf([
+                                    primitives[4],
+                                    primitives[5],
+                                    primitives[2],
+                                    primitives[3],
+                                    primitives[1],
+                                    primitives[0]])),
+                    nt.KDLeaf([
+                        primitives[4],
+                        primitives[5],
+                        primitives[1],
+                        primitives[0]])))
+    scene.set_fov(0.8)
+    hits = scene.root.intersects(
+        (4.917067527770996, 2.508934497833252, -4.304379940032959),
+        (-0.7135500907897949, -0.1356230527162552, 0.6873518228530884))
+    assert len(hits) == 1
+    assert primitives.index(hits[0].primitive) == 4
+    assert hits[0].batch_index == -1
+
+
+def check_pickle_roundtrip(x):
+    y = pickle.loads(pickle.dumps(x))
+    return y
+
+
+def material_equal(a, b):
+    return (a.color == b.color and a.opacity == b.opacity
+            and a.reflectivity == b.reflectivity
+            and a.specular_intensity == b.specular_intensity
+            and a.specular_exp == b.specular_exp and a.specular == b.specular)
+
+
+def test_pickle():
+    mat = Material((1, 1, 1))
+    assert material_equal(check_pickle_roundtrip(mat), mat)
+    c = Color(0.2, 0.1, 1)
+    assert check_pickle_roundtrip(c) == c
+    for d in [3, 5, 12]:
+        nt = get_nt(d)
+        v = rand_vector(nt)
+        assert check_pickle_roundtrip(v) == v
+        a = nt.AABB(rand_vector(nt, -100, 50), rand_vector(nt, 51, 200))
+        a2 = check_pickle_roundtrip(a)
+        assert a2.start == a.start and a2.end == a.end
+        t = nt.Triangle(rand_vector(nt), rand_vector(nt),
+                        [rand_vector(nt) for _ in range(nt.dimension - 1)], mat)
+        t2 = check_pickle_roundtrip(t)
+        assert t2.p1 == t.p1 and t2.face_normal == t.face_normal
+        assert list(t2.edge_normals) == list(t.edge_normals)
+        assert material_equal(t2.material, t.material)
+
+
+def test_triangle_batch_pickle():
+    nt = get_nt(4)
+    mat = Material((1, 1, 1))
+    tris = [nt.Triangle.from_points(rand_triangle_verts(nt), mat)
+            for _ in range(nt.BATCH_SIZE)]
+    batch = nt.TriangleBatch(tris)
+    b2 = check_pickle_roundtrip(batch)
+    for t1, t2 in zip(batch, b2):
+        assert t1.p1 == t2.p1 and t1.face_normal == t2.face_normal
+
+
+def check_triangle_points_roundtrip(nt, points):
+    newpoints = nt.Triangle.from_points(points, Material((1, 1, 1))).to_points()
+    for old, new in zip(points, newpoints):
+        for c1, c2 in zip(old, new):
+            assert abs(c1 - c2) < 1e-4 * max(1.0, abs(c1))
+
+
+def test_to_from_points(generic):
+    nt = get_nt(5, generic)
+    check_triangle_points_roundtrip(nt, rand_triangle_verts(nt))
+
+    mat = Material((1, 1, 1))
+    points = [rand_triangle_verts(nt) for _ in range(nt.BATCH_SIZE)]
+    tbproto = nt.TriangleBatchPrototype(
+        nt.TriangleBatch([nt.Triangle.from_points(p, mat) for p in points]))
+    for i in range(nt.BATCH_SIZE):
+        [tp.point[i] for tp in tbproto.point_data]
+
+
+def test_solid_pickle():
+    nt = get_nt(3)
+    mat = Material((1, 1, 1))
+    s = nt.Solid(CUBE, nt.Vector(1, 2, 3), nt.Matrix.identity(), mat)
+    s2 = check_pickle_roundtrip(s)
+    assert s2.type == s.type
+    assert s2.position == s.position
+    assert list(s2.orientation.values) == list(s.orientation.values)
