@@ -40,6 +40,9 @@ class SceneConfig:
     has_transparency: bool
     has_reflectivity: bool
     max_transparent_hits: int
+    # mesh axis name for a sharded triangle pool (tensor-parallel trace);
+    # None on a single chip.  Set via dataclasses.replace by parallel.mesh.
+    prim_axis: str | None = None
 
 
 @dataclass

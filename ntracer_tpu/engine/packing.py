@@ -1,26 +1,79 @@
-"""Channel bit-packing: float RGB rows -> packed pixel bytes.
+"""Channel bit-packing: float RGB -> packed pixel bytes.
 
-Vectorized NumPy port of ``process_pixel`` (/root/reference/src/render.cpp:
-396-466): per channel, ``clamp(f_r*r + f_g*g + f_b*b + f_c, 0, 1)`` is scaled
-to ``bit_size`` bits (``lround``, i.e. half away from zero) or bit-cast when
-``tfloat``, then channels are packed MSB-first into ``bytes_per_pixel``
-bytes; ``reversed`` flips the byte order.
+Port of ``process_pixel`` (/root/reference/src/render.cpp:396-466): per
+channel, ``clamp(f_r*r + f_g*g + f_b*b + f_c, 0, 1)`` is scaled to
+``bit_size`` bits (``lround``, half away from zero) or bit-cast when
+``tfloat``, then channels pack MSB-first into ``bytes_per_pixel`` bytes;
+``reversed`` flips the byte order.
 
-This is a host-side post-process (the device returns float RGB); the packing
-cost is trivial next to the trace.  The C layout uses two 64-bit words per
-pixel (MAX_PIXELSIZE = 16 bytes), reproduced here with a (N, 2) uint64
-accumulator.
+Two implementations with identical bitstreams:
+
+  * ``pack_device`` — jnp/uint32, runs on TPU so only packed bytes cross
+    the (slow) host link.  Deviation: the bit-scale multiply is float32, so
+    channels wider than 24 bits can round differently from the reference's
+    double math.
+  * ``pack_rows``   — NumPy/uint64 host fallback, bit-exact with the
+    reference for all widths.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from ..render import ImageFormat
 
 
+def format_key(fmt: ImageFormat):
+    """Hashable static description of the pixel format for jit."""
+    return (tuple((c.bit_size, c.f_r, c.f_g, c.f_b, c.f_c, c.tfloat)
+                  for c in fmt.channels),
+            fmt.bytes_per_pixel, bool(fmt.reversed))
+
+
+@partial(jax.jit, static_argnames=("key",))
+def pack_device(colors, key):
+    """Device-side packing: (R, 3) float32 -> (R, bpp) uint8.
+
+    Built from uint32 words (the TPU has no 64-bit integers by default);
+    the MSB-first byte stream equals the reference's 64-bit-word layout."""
+    channels, bpp, reverse = key
+    r, g, b = colors[:, 0], colors[:, 1], colors[:, 2]
+    n_words = (bpp + 3) // 4
+    words = [jnp.zeros(colors.shape[0], jnp.uint32) for _ in range(n_words)]
+
+    off = 0
+    for bit_size, f_r, f_g, f_b, f_c, tfloat in channels:
+        val = jnp.clip(np.float32(f_r) * r + np.float32(f_g) * g
+                       + np.float32(f_b) * b + np.float32(f_c), 0.0, 1.0)
+        if tfloat:
+            ival = jax.lax.bitcast_convert_type(val, jnp.uint32)
+        else:
+            scale = np.float32(0xFFFFFFFF >> (32 - bit_size))
+            # lround for non-negative values == floor(x + 0.5)
+            ival = jnp.floor(val * scale + 0.5).astype(jnp.uint32)
+        o = off // 32
+        rm = off % 32
+        s = 32 - rm - bit_size
+        if s >= 0:
+            words[o] = words[o] | (ival << np.uint32(s))
+        else:
+            words[o] = words[o] | (ival >> np.uint32(-s))
+        if rm + bit_size > 32:
+            words[o + 1] = words[o + 1] | (ival << np.uint32(64 - rm - bit_size))
+        off += bit_size
+
+    byte_order = range(bpp - 1, -1, -1) if reverse else range(bpp)
+    out = [((words[j // 4] >> np.uint32(8 * (3 - (j % 4)))) & np.uint32(0xFF))
+           .astype(jnp.uint8) for j in byte_order]
+    return jnp.stack(out, axis=1)
+
+
 def pack_rows(colors: np.ndarray, fmt: ImageFormat) -> np.ndarray:
-    """colors: (rows, W, 3) float32 -> (rows, W*bytes_per_pixel) uint8."""
+    """Host packing: (rows, W, 3) float32 -> (rows, W*bpp) uint8."""
     rows, w, _ = colors.shape
     n = rows * w
     c = np.asarray(colors, dtype=np.float32).reshape(n, 3)

@@ -14,7 +14,6 @@ becomes ``max_transparent_hits`` slots).
 All math is float32, matching the reference's ``real``.
 
 Known deviations from the scalar oracle (documented, all edge cases):
-  * specular pow() is clamped to base >= 0 (the reference can produce NaN);
   * at most ``max_transparent_hits`` transparent surfaces per ray;
   * reflections spawn from the nearest opaque hit only — a material that is
     both transparent and reflective does not spawn reflection children for
@@ -36,7 +35,7 @@ from .flatten import flatten_composite, SceneConfig
 
 f32 = jnp.float32
 CHUNK = 512
-TILE = 16384  # rays per device dispatch
+TILE = 32768  # rays per device dispatch
 
 ROUNDING_FUZZ = np.float32(np.finfo(np.float32).eps * 10)
 REAL_MAX = np.float32(np.finfo(np.float32).max)
@@ -46,6 +45,19 @@ INF = np.float32(np.inf)
 
 def _unit(v):
     return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+
+def _powf(x, y):
+    """C ``powf`` semantics for negative bases: integral exponents give a
+    signed result (the reference's Blinn-Phong pow sees negative half-vector
+    dots, tracer.hpp:1703); non-integral exponents give NaN, matching libm."""
+    ax = jnp.abs(x)
+    p = jnp.power(ax, y)
+    y_int = jnp.floor(y) == y
+    odd = jnp.mod(y, 2.0) != 0
+    neg = x < 0
+    sign = jnp.where(neg & y_int & odd, -1.0, 1.0)
+    return jnp.where(neg & ~y_int, jnp.nan, sign * p)
 
 
 def _dot(a, b):
@@ -81,27 +93,31 @@ def _tri_chunk_test(o, dirs, p1, fn, en, dc, d):
     """Intersect R rays with a C-triangle chunk (tracer.hpp:411-440 /
     551-599 vectorized).  Returns (t, valid, denom): (R,C) each.
 
-    The 2d plane dot products per ray-triangle pair are computed as two
-    matmuls with contraction d — MXU work: (R,d) @ (d, C*d)."""
+    The 2d plane dot products per ray-triangle pair come from two matmuls
+    with contraction d — MXU work: (R,d) @ (d, d*C).  The plane matrix is
+    laid out plane-major so every downstream tensor is an (R, C) slice with
+    C on the TPU lane dimension (a (R, C, d) layout would put d=3..8 minor
+    and waste 97% of the VPU lanes)."""
     C = p1.shape[0]
     planes = _chunk_planes(p1, fn, en)            # (C, d, d)
-    g = planes.reshape(C * d, d)                  # row-major: tri-major, plane-minor
+    g = planes.transpose(1, 0, 2).reshape(d * C, d)   # plane-major rows
     O = jax.lax.dot_general(o, g, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # (R, C*d)
+                            preferred_element_type=jnp.float32)   # (R, d*C)
     D = jax.lax.dot_general(dirs, g, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # (R, C*d)
-    O = O.reshape(-1, C, d)
-    D = D.reshape(-1, C, d)
+                            preferred_element_type=jnp.float32)   # (R, d*C)
 
-    denom = D[:, :, 0]                            # fn . dir
-    t = -(O[:, :, 0] + dc[None, :]) / denom
+    denom = D[:, 0:C]                             # fn . dir
+    t = -(O[:, 0:C] + dc[None, :]) / denom
     valid = (denom != 0) & (t > 0)
 
-    # edge areas: a_i = e_i.p1 - e_i.o - t * e_i.dir
+    # edge areas: a_i = e_i.p1 - e_i.o - t * e_i.dir, one (R, C) slab per edge
     ci = jnp.sum(planes[:, 1:, :] * p1[:, None, :], axis=-1)      # (C, d-1)
-    a = ci[None, :, :] - O[:, :, 1:] - t[:, :, None] * D[:, :, 1:]
-    valid &= jnp.all((a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ), axis=-1)
-    tot = jnp.sum(a, axis=-1)
+    tot = jnp.zeros_like(t)
+    for i in range(1, d):
+        a = ci[None, :, i - 1] - O[:, i * C:(i + 1) * C] \
+            - t * D[:, i * C:(i + 1) * C]
+        valid &= (a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ)
+        tot += a
     valid &= tot <= 1 + ROUNDING_FUZZ
     return t, valid, denom
 
@@ -145,6 +161,9 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
     ck = _chunk_arrays(arrs, cfg)
     nc = ck["p1"].shape[0]
 
+    # primitive ids are GLOBAL: tri_base/sol_base offset this shard's pool
+    # (both zero/n_tris on a single chip; see parallel.mesh for sharding)
+    tri_base = arrs["tri_base"]
     ids_base = jnp.arange(CHUNK, dtype=jnp.int32)
 
     init = dict(
@@ -163,7 +182,7 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
 
         def run(carry):
             t, valid, _ = _tri_chunk_test(o, dirs, p1, fn, en, dc, d)
-            ids = cidx * CHUNK + ids_base
+            ids = tri_base + cidx * CHUNK + ids_base
             valid &= ids[None, :] != skip[:, None]
             out = dict(carry)
 
@@ -200,7 +219,7 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
     # --- solids (static loop; S is tiny) ---------------------------------
     for s in range(cfg.n_solids):
         st, sp, sn = _solid_test(arrs, s, o, dirs, d)
-        sid = cfg.n_tris + s
+        sid = arrs["sol_base"] + s
         s_opaque = arrs["mat_opacity"][arrs["sol_mat"][s]] >= 1
         svalid = (st > 0) & (sid != skip)
         so_valid = svalid & s_opaque & (st < carry["t"])
@@ -216,10 +235,22 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
             carry["tt"] = jnp.take_along_axis(allt, order, axis=1)
             carry["tid"] = jnp.take_along_axis(alli, order, axis=1)
 
-    hit = carry["pid"] >= 0
-    point, normal = _hit_geometry(arrs, cfg, o, dirs, carry["t"], carry["pid"])
-    res = dict(t=carry["t"], pid=carry["pid"], hit=hit, point=point,
-               normal=normal)
+    point, normal, mat = _hit_geometry(arrs, cfg, o, dirs, carry["t"],
+                                       carry["pid"])
+    res = dict(t=carry["t"], pid=carry["pid"], point=point, normal=normal,
+               mat=mat)
+
+    if cfg.prim_axis is not None:
+        # tensor-parallel pool: every shard found its local winner with full
+        # geometry; all_gather the candidates over ICI and take the global
+        # argmin per ray (winner-take-all reduction).
+        g = {k: jax.lax.all_gather(v, cfg.prim_axis) for k, v in res.items()}
+        w = jnp.argmin(g["t"], axis=0)                       # (R,)
+        for k, v in g.items():
+            idx = w[None, ..., None] if v.ndim == 3 else w[None, ...]
+            res[k] = jnp.take_along_axis(v, idx, axis=0)[0]
+
+    res["hit"] = res["pid"] >= 0
     if K:
         tvalid = (carry["tid"] >= 0) & (carry["tt"] < carry["t"][:, None])
         res["tt"] = carry["tt"]
@@ -228,25 +259,29 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
 
 
 def _hit_geometry(arrs, cfg, o, dirs, t, pid):
-    """Recover hit point and (view-facing) normal from a primitive id."""
+    """Recover hit point, view-facing normal, and material index from a
+    primitive id (gathers use this shard's local pool indices)."""
     d = cfg.d
     point = o + t[:, None] * dirs
+    local = pid - arrs["tri_base"]
 
-    tri_id = jnp.clip(pid, 0, cfg.n_tris - 1)
+    tri_id = jnp.clip(local, 0, cfg.n_tris - 1)
     fn = arrs["tri_fn"][tri_id]                       # (R, d)
     denom = _dot(fn, dirs)
     n_tri = _unit(fn) * jnp.where(denom > 0, -1.0, 1.0)[:, None]
+    mat = arrs["tri_mat"][tri_id]
 
     if cfg.n_solids:
         # solids write their own normal/point; recompute per solid and select
         normal = n_tri
         for s in range(cfg.n_solids):
             st, sp, sn = _solid_test(arrs, s, o, dirs, d)
-            sel = pid == (cfg.n_tris + s)
+            sel = pid == (arrs["sol_base"] + s)
             normal = jnp.where(sel[:, None], sn, normal)
             point = jnp.where(sel[:, None], sp, point)
-        return point, normal
-    return point, n_tri
+            mat = jnp.where(sel, arrs["sol_mat"][s], mat)
+        return point, normal, mat
+    return point, n_tri, mat
 
 
 def _solid_test(arrs, s, o, dirs, d):
@@ -321,7 +356,7 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip):
 
         def run(carry):
             t, valid, _ = _tri_chunk_test(o, dirs, p1, fn, en, dc, d)
-            ids = cidx * CHUNK + ids_base
+            ids = arrs["tri_base"] + cidx * CHUNK + ids_base
             valid &= ids[None, :] != skip[:, None]
             valid &= t < ldist[:, None]
             blocked = carry["blocked"] | jnp.any(
@@ -344,40 +379,39 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip):
 
     for s in range(cfg.n_solids):
         st, _, _ = _solid_test(arrs, s, o, dirs, d)
-        sid = cfg.n_tris + s
+        sid = arrs["sol_base"] + s
         svalid = (st > 0) & (st < ldist) & (sid != skip)
+        if cfg.prim_axis is not None:
+            # solids are replicated across the pool shards; count them once
+            svalid &= jax.lax.axis_index(cfg.prim_axis) == 0
         s_op = arrs["mat_opacity"][arrs["sol_mat"][s]]
         carry["blocked"] |= svalid & (s_op >= 1)
         if cfg.has_transparency:
             carry["filt"] *= jnp.where(svalid & (s_op < 1), 1 - s_op, 1.0)
 
-    return carry["blocked"], carry["filt"]
+    blocked, filt = carry["blocked"], carry["filt"]
+    if cfg.prim_axis is not None:
+        blocked = jax.lax.psum(blocked.astype(jnp.int32), cfg.prim_axis) > 0
+        if cfg.has_transparency:
+            filt = jnp.prod(jax.lax.all_gather(filt, cfg.prim_axis), axis=0)
+    return blocked, filt
 
 
 # ---------------------------------------------------------------------------
 # Shading (base_color, tracer.hpp:1768-1854)
 # ---------------------------------------------------------------------------
 
-def _prim_material(arrs, cfg, pid):
-    """Material index per primitive id (triangles then solids)."""
-    tri_mat = arrs["tri_mat"][jnp.clip(pid, 0, cfg.n_tris - 1)]
-    if cfg.n_solids:
-        sol_idx = jnp.clip(pid - cfg.n_tris, 0, cfg.n_solids - 1)
-        sol_mat = arrs["sol_mat"][sol_idx]
-        return jnp.where(pid >= cfg.n_tris, sol_mat, tri_mat)
-    return tri_mat
-
-
-def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, depth,
+def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
                 dyn):
     """Local lighting of a batch of hit points.  Returns
     (local_color (R,3), child_coef (R,3), child_dir (R,d)).
 
     ``dyn`` carries the per-frame dynamic scene parameters (ambient, bg,
     etc.).  The reflection child is folded in by the caller's bounce loop:
-    surface = local + child_coef * ray_color(child_dir)."""
+    surface = local + child_coef * ray_color(child_dir).  ``pid`` is used
+    only as the self-intersection skip for shadow rays; ``mi`` is the
+    material index captured by the trace."""
     R = dirs.shape[0]
-    mi = _prim_material(arrs, cfg, pid)
     mc = arrs["mat_color"][mi]
     mspec = arrs["mat_specular"][mi]
     spec_int = arrs["mat_spec_int"][mi]
@@ -389,12 +423,17 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, depth,
     spec_a = jnp.zeros((R,), f32)
 
     def add_specular(specular, spec_a, filtered, light_dir, mask):
+        # append_specular (tracer.hpp:1701-1707) runs only when the light
+        # contributes AND specular_intensity != 0 — including its trailing
+        # ``specular *= spec_a``, so every update is masked per ray.
+        mask = mask & (spec_int != 0)
         h = _unit(light_dir - dirs)
-        base = jnp.power(jnp.maximum(_dot(normal, h), 0.0), spec_exp) * spec_int
-        base = jnp.where(mask, base, 0.0)
-        specular = specular + mspec * filtered * (base * (1 - spec_a))[:, None]
-        spec_a = spec_a + base * (1 - spec_a)
-        specular = specular * spec_a[:, None]
+        base = _powf(_dot(normal, h), spec_exp) * spec_int
+        new_s = specular + mspec * filtered * (base * (1 - spec_a))[:, None]
+        new_a = spec_a + base * (1 - spec_a)
+        new_s = new_s * new_a[:, None]
+        specular = jnp.where(mask[:, None], new_s, specular)
+        spec_a = jnp.where(mask, new_a, spec_a)
         return specular, spec_a
 
     for li in range(cfg.n_point_lights):
@@ -439,11 +478,15 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, depth,
     if cfg.camera_light:
         cl = jnp.maximum(sine, 0.0)
         light += cl[:, None]
-        base = jnp.power(jnp.maximum(sine, 0.0), spec_exp) * spec_int
-        base = jnp.where(sine > 0, base, 0.0)
-        specular = specular + mspec * (base * (1 - spec_a))[:, None]
-        spec_a = spec_a + base * (1 - spec_a)
-        specular = specular * spec_a[:, None]
+        # camera-light specular block (tracer.hpp:1830-1838), masked like
+        # add_specular
+        mask = (sine > 0) & (spec_int != 0)
+        base = _powf(jnp.maximum(sine, 0.0), spec_exp) * spec_int
+        new_s = specular + mspec * (base * (1 - spec_a))[:, None]
+        new_a = spec_a + base * (1 - spec_a)
+        new_s = new_s * new_a[:, None]
+        specular = jnp.where(mask[:, None], new_s, specular)
+        spec_a = jnp.where(mask, new_a, spec_a)
 
     r0 = dyn["ambient"][None, :] + mc * light
 
@@ -511,7 +554,7 @@ def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs):
 
         local, child_coef, child_dir = shade_local(
             arrs, cfg, dirs, res["point"], res["normal"], res["pid"],
-            depth, dyn)
+            res["mat"], depth, dyn)
         bg = background(cfg, dyn, dirs)
         color_here = jnp.where(hit[:, None], local, bg)
 
@@ -549,10 +592,9 @@ def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
         valid = tid >= 0
         safe_id = jnp.where(valid, tid, 0)
         point = o + tk[:, None] * dirs
-        normal = _transparent_normal(arrs, cfg, dirs, safe_id, point, o)
+        normal, mi = _transparent_normal(arrs, cfg, dirs, safe_id, o)
         local, _, _ = shade_local(arrs, cfg, dirs, point, normal, safe_id,
-                                  depth, dyn)
-        mi = _prim_material(arrs, cfg, safe_id)
+                                  mi, depth, dyn)
         op = arrs["mat_opacity"][mi]
         new = local * op[:, None] + color * (1 - op)[:, None]
         color = jnp.where(valid[:, None], new, color)
@@ -560,16 +602,19 @@ def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
     return color, trans
 
 
-def _transparent_normal(arrs, cfg, dirs, pid, point, o):
-    fn = arrs["tri_fn"][jnp.clip(pid, 0, cfg.n_tris - 1)]
+def _transparent_normal(arrs, cfg, dirs, pid, o):
+    local = jnp.clip(pid - arrs["tri_base"], 0, cfg.n_tris - 1)
+    fn = arrs["tri_fn"][local]
     denom = _dot(fn, dirs)
     n = _unit(fn) * jnp.where(denom > 0, -1.0, 1.0)[:, None]
+    mi = arrs["tri_mat"][local]
     if cfg.n_solids:
         for s in range(cfg.n_solids):
             st, sp, sn = _solid_test(arrs, s, o, dirs, cfg.d)
-            sel = pid == (cfg.n_tris + s)
+            sel = pid == (arrs["sol_base"] + s)
             n = jnp.where(sel[:, None], sn, n)
-    return n
+            mi = jnp.where(sel, arrs["sol_mat"][s], mi)
+    return n, mi
 
 
 # ---------------------------------------------------------------------------
@@ -587,6 +632,118 @@ def _render_tile_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
 @partial(jax.jit, static_argnames=("d",))
 def _render_tile_box(d, cam_origin, cam_t, fov_params, xs, ys):
     """BoxScene pixel kernel (tracer.hpp:101-114)."""
+    return _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
+
+
+@partial(jax.jit, static_argnames=("cfg", "w", "key"))
+def _tile_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
+                           start, w, key):
+    """One TILE of rays -> packed pixel bytes, fully on device.  Pixel
+    coordinates come from an on-device iota (no per-tile H2D) and only the
+    packed uint8 tile crosses the host link (which is slow on tunneled
+    TPU setups)."""
+    from . import packing
+    idx = start + jnp.arange(TILE, dtype=jnp.int32)
+    xs = (idx % w).astype(f32)
+    ys = (idx // w).astype(f32)
+    fovI, half_w, half_h = fov_params
+    o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
+    colors = ray_colors(arrs, cfg, dyn, o, dirs)
+    return packing.pack_device(colors, key)
+
+
+@partial(jax.jit, static_argnames=("d", "w", "key"))
+def _tile_packed_box(d, cam_origin, cam_t, fov_params, start, w, key):
+    from . import packing
+    idx = start + jnp.arange(TILE, dtype=jnp.int32)
+    xs = (idx % w).astype(f32)
+    ys = (idx // w).astype(f32)
+    colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
+    return packing.pack_device(colors, key)
+
+
+@partial(jax.jit, static_argnames=("cfg", "w", "n_tiles", "key"))
+def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
+                            w, n_tiles, key):
+    """Whole frame in one dispatch: lax.map over ray tiles -> packed bytes.
+
+    One launch + one device-to-host pull per frame; on tunneled TPU setups
+    the per-call round trip (~30 ms) would otherwise dominate."""
+    from . import packing
+    fovI, half_w, half_h = fov_params
+
+    def tile(start):
+        idx = start + jnp.arange(TILE, dtype=jnp.int32)
+        xs = (idx % w).astype(f32)
+        ys = (idx // w).astype(f32)
+        o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
+        colors = ray_colors(arrs, cfg, dyn, o, dirs)
+        return packing.pack_device(colors, key)
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE
+    out = jax.lax.map(tile, starts)
+    return out.reshape(n_tiles * TILE, -1)
+
+
+@partial(jax.jit, static_argnames=("d", "w", "n_tiles", "key"))
+def _frame_packed_box(d, cam_origin, cam_t, fov_params, w, n_tiles, key):
+    from . import packing
+
+    def tile(start):
+        idx = start + jnp.arange(TILE, dtype=jnp.int32)
+        xs = (idx % w).astype(f32)
+        ys = (idx // w).astype(f32)
+        colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
+        return packing.pack_device(colors, key)
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE
+    out = jax.lax.map(tile, starts)
+    return out.reshape(n_tiles * TILE, -1)
+
+
+def render_packed(scene, fmt, view, abort_check) -> bool:
+    """Render a full frame into the writable byte ``view``.
+
+    Returns False when aborted (abort granularity is the frame once the
+    dispatch is in flight)."""
+    from . import packing
+
+    scene._set_view_size(fmt.width, fmt.height)
+    fov = _fov_params(fmt.width, fmt.height, scene.fov)
+    key = packing.format_key(fmt)
+    cam_origin = jnp.asarray(scene._cam._origin)
+    cam_t = jnp.asarray(scene._cam._t)
+
+    total = fmt.width * fmt.height
+    n_tiles = -(-total // TILE)
+    if abort_check():
+        return False
+
+    if hasattr(scene, "_device_cache"):
+        cfg, device, _flat = get_device_scene(scene)
+        dyn = _scene_dyn(scene)
+        dev = _frame_packed_composite(device, cfg, dyn, cam_origin, cam_t,
+                                      fov, fmt.width, n_tiles, key)
+    else:
+        dev = _frame_packed_box(scene.dimension, cam_origin, cam_t, fov,
+                                fmt.width, n_tiles, key)
+
+    if abort_check():
+        return False
+    data = np.asarray(dev)  # one D2H per frame
+    bpp = fmt.bytes_per_pixel
+    flat = data[:total].reshape(-1)
+    if fmt.pitch == fmt.width * bpp:
+        view[:total * bpp] = flat.tobytes()
+    else:
+        row = fmt.width * bpp
+        for y in range(fmt.height):
+            view[y * fmt.pitch:y * fmt.pitch + row] = \
+                flat[y * row:(y + 1) * row].tobytes()
+    return True
+
+
+def _box_colors(d, cam_origin, cam_t, fov_params, xs, ys):
     fovI, half_w, half_h = fov_params
     o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
 
@@ -648,7 +805,12 @@ def _tiled(fn, xs, ys):
 
 
 def get_device_scene(scene):
-    """Flatten + device-put a CompositeScene, cached on the scene object."""
+    """Flatten + device-put a CompositeScene, cached on the scene object.
+
+    The cache holds only geometry-derived state; render flags (shadows,
+    camera light, reflect depth, bg axis) are re-read from the scene every
+    call so config setters never force a re-flatten/re-upload."""
+    import dataclasses
     if scene._device_cache is None:
         flat = flatten_composite(scene, chunk=CHUNK)
         arrs = dict(flat.arrays)
@@ -670,10 +832,21 @@ def get_device_scene(scene):
         arrs["ck_lo"] = lo
         arrs["ck_hi"] = hi
         arrs["ck_nonempty"] = nonempty
+        arrs["tri_base"] = np.int32(0)
+        arrs["sol_base"] = np.int32(flat.config.n_tris)
         device = {k: jnp.asarray(v) for k, v in arrs.items()
                   if k not in ("tri_lo", "tri_hi")}
         scene._device_cache = (flat.config, device, flat)
-    return scene._device_cache
+
+    cfg, device, flat = scene._device_cache
+    cfg = dataclasses.replace(
+        cfg,
+        shadows=bool(scene.shadows),
+        camera_light=bool(scene.camera_light),
+        max_reflect_depth=int(scene.max_reflect_depth),
+        bg_axis=int(scene.bg_gradient_axis),
+    )
+    return cfg, device, flat
 
 
 def _scene_dyn(scene):

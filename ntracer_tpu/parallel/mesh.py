@@ -1,0 +1,146 @@
+"""Multi-chip rendering over a 2-D ``jax.sharding.Mesh``.
+
+The reference parallelizes with a native thread pool pulling 32x32 pixel
+chunks off an atomic counter (render.cpp:324-563).  The TPU-native design
+shards two independent axes:
+
+  * ``px``   — pixels (data parallel): each device renders a slab of rays;
+               no communication until the frame gathers.
+  * ``prim`` — the triangle pool (tensor parallel): each device traces its
+               shard of the scene and the nearest-hit winner is reduced with
+               an ``all_gather`` + argmin over ICI (see
+               wavefront.trace_pool); occlusion reduces with ``psum``.
+
+Scene arrays are replicated along ``px`` and sharded along ``prim``; rays
+along ``px``.  This mirrors how a large scene that does not fit one chip's
+HBM would deploy, and is exercised on a virtual CPU mesh in tests and by
+the driver's ``dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..engine import wavefront
+from ..engine.wavefront import CHUNK, make_rays, ray_colors
+
+f32 = jnp.float32
+
+
+def make_mesh(n_px: int, n_prim: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_px * n_prim > len(devices):
+        raise ValueError(f"mesh {n_px}x{n_prim} needs {n_px*n_prim} devices, "
+                         f"have {len(devices)}")
+    dev = np.asarray(devices[: n_px * n_prim]).reshape(n_px, n_prim)
+    return Mesh(dev, ("px", "prim"))
+
+
+def _pad_pool(arrs, cfg, n_prim):
+    """Pad the triangle pool (and chunk AABBs) so it splits evenly into
+    ``n_prim`` shards of whole chunks."""
+    t = cfg.n_tris
+    per = -(-t // (CHUNK * n_prim)) * CHUNK  # chunks per shard * CHUNK
+    t_new = per * n_prim
+    if t_new == t:
+        return arrs, cfg, per
+    grow = t_new - t
+    out = dict(arrs)
+    for k in ("tri_p1", "tri_fn", "tri_en", "tri_dc", "tri_mat",
+              "tri_opacity"):
+        a = np.asarray(arrs[k])
+        pad = [(0, grow)] + [(0, 0)] * (a.ndim - 1)
+        out[k] = np.pad(a, pad)
+    nc_new = t_new // CHUNK
+    nc = t // CHUNK
+    for k, fill in (("ck_lo", 0.0), ("ck_hi", 0.0), ("ck_nonempty", False)):
+        a = np.asarray(arrs[k])
+        pad = [(0, nc_new - nc)] + [(0, 0)] * (a.ndim - 1)
+        out[k] = np.pad(a, pad, constant_values=fill)
+    cfg = dataclasses.replace(cfg, n_tris=t_new)
+    return out, cfg, per
+
+
+_TRI_KEYS = ("tri_p1", "tri_fn", "tri_en", "tri_dc", "tri_mat",
+             "tri_opacity", "ck_lo", "ck_hi", "ck_nonempty")
+
+
+def build_sharded_renderer(scene, mesh: Mesh, tile: int):
+    """Compile a frame-tile renderer sharded over ``mesh``.
+
+    Returns ``(fn, arrs)`` where ``fn(arrs, dyn, cam_origin, cam_t,
+    fov_params, xs, ys) -> (tile, 3)`` and xs/ys have length ``tile``
+    (divisible by the px axis size)."""
+    cfg, device, _ = wavefront.get_device_scene(scene)
+    n_px = mesh.shape["px"]
+    n_prim = mesh.shape["prim"]
+    if tile % n_px:
+        raise ValueError("tile size must divide evenly over the px axis")
+
+    arrs = {k: np.asarray(v) for k, v in device.items()}
+    arrs, cfg, per_shard = _pad_pool(arrs, cfg, n_prim)
+    del arrs["tri_base"], arrs["sol_base"]
+
+    cfg_shard = dataclasses.replace(
+        cfg,
+        n_tris=per_shard,
+        prim_axis="prim" if n_prim > 1 else None,
+    )
+    if n_prim > 1 and cfg.has_transparency:
+        raise NotImplementedError(
+            "transparent scenes are not supported with a sharded pool yet")
+
+    specs = {k: (P("prim") if k in _TRI_KEYS else P()) for k in arrs}
+
+    def shard_fn(arrs_l, dyn, cam_origin, cam_t, fov_params, xs, ys):
+        arrs_l = dict(arrs_l)
+        if n_prim > 1:
+            base = jax.lax.axis_index("prim").astype(jnp.int32) * per_shard
+        else:
+            base = jnp.int32(0)
+        arrs_l["tri_base"] = base
+        arrs_l["sol_base"] = jnp.int32(cfg.n_tris)
+        fovI, half_w, half_h = fov_params
+        o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
+        return ray_colors(arrs_l, cfg_shard, dyn, o, dirs)
+
+    dyn_spec = dict(ambient=P(), bg1=P(), bg2=P(), bg3=P())
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(specs, dyn_spec, P(), P(), (P(), P(), P()),
+                  P("px"), P("px")),
+        out_specs=P("px", None),
+        check_rep=False)
+    return jax.jit(fn), arrs
+
+
+def render_frame(scene, fmt, mesh: Mesh):
+    """Render a full frame sharded over the mesh; returns (H, W, 3) f32."""
+    n_px = mesh.shape["px"]
+    total = fmt.width * fmt.height
+    tile = -(-total // n_px) * n_px
+    fn, arrs = build_sharded_renderer(scene, mesh, tile)
+
+    xs, ys = np.meshgrid(np.arange(fmt.width, dtype=np.float32),
+                         np.arange(fmt.height, dtype=np.float32))
+    xs = np.pad(xs.ravel(), (0, tile - total))
+    ys = np.pad(ys.ravel(), (0, tile - total))
+
+    dyn = wavefront._scene_dyn(scene)
+    scene._set_view_size(fmt.width, fmt.height)
+    fov = wavefront._fov_params(fmt.width, fmt.height, scene.fov)
+    out = fn(arrs, dyn, jnp.asarray(scene._cam._origin),
+             jnp.asarray(scene._cam._t), fov, jnp.asarray(xs),
+             jnp.asarray(ys))
+    return np.asarray(out)[:total].reshape(fmt.height, fmt.width, 3)

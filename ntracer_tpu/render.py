@@ -404,8 +404,12 @@ class _RendererBase:
         self._abort = False
 
     def _draw(self, dest, fmt: ImageFormat, sc: Scene) -> bool:
-        """Render into dest buffer; returns False if aborted."""
-        from .engine import packing
+        """Render into dest buffer; returns False if aborted.
+
+        The whole frame runs on device (trace, shade, channel packing);
+        tiles are dispatched asynchronously and only packed pixel bytes
+        cross the host link.  Abort is polled between tile pulls."""
+        from .engine import wavefront
 
         view = memoryview(dest)
         if view.readonly:
@@ -413,20 +417,8 @@ class _RendererBase:
         view = view.cast("B")
         _check_buffer_size(fmt, view)
 
-        sc._set_view_size(fmt.width, fmt.height)
-        y = 0
-        while y < fmt.height:
-            if self._abort:
-                return False
-            rows = min(_ABORT_STRIP_ROWS, fmt.height - y)
-            colors = sc._render_strip(fmt, y, rows)
-            packed = packing.pack_rows(colors, fmt)
-            for r in range(rows):
-                off = (y + r) * fmt.pitch
-                row_bytes = packed[r].tobytes()
-                view[off:off + len(row_bytes)] = row_bytes
-            y += rows
-        return True
+        return wavefront.render_packed(sc, fmt, view,
+                                       lambda: self._abort)
 
 
 class BlockingRenderer(_RendererBase):

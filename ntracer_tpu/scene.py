@@ -146,12 +146,19 @@ class CompositeScene(Scene):
         return self.ambient
 
     def _mutate(self):
+        """Geometry/light mutation: invalidates the flattened device arrays."""
         self._ensure_unlocked()
         self._version += 1
         self._device_cache = None
 
+    def _mutate_config(self):
+        """Config-only mutation (camera, fov, flags): device arrays stay
+        valid — config is passed per frame / enters the jit key."""
+        self._ensure_unlocked()
+        self._version += 1
+
     def set_camera(self, camera):
-        self._mutate()
+        self._mutate_config()
         if camera.dimension != self.dimension:
             raise TypeError("the scene and camera must have the same dimension")
         self._cam = camera.__copy__()
@@ -160,30 +167,30 @@ class CompositeScene(Scene):
         return self._cam.__copy__()
 
     def set_fov(self, fov):
-        self._mutate()
+        self._mutate_config()
         self.fov = float(fov)
 
     def set_max_reflect_depth(self, depth):
-        self._mutate()
+        self._mutate_config()
         depth = int(depth)
         if depth < 0:
             raise ValueError("max_reflect_depth cannot be negative")
         self.max_reflect_depth = depth
 
     def set_shadows(self, value):
-        self._mutate()
+        self._mutate_config()
         self.shadows = bool(value)
 
     def set_camera_light(self, value):
-        self._mutate()
+        self._mutate_config()
         self.camera_light = bool(value)
 
     def set_ambient_color(self, color):
-        self._mutate()
+        self._mutate_config()
         self.ambient = read_color(color)
 
     def set_background(self, c1, c2=None, c3=None, axis=None):
-        self._mutate()
+        self._mutate_config()
         c1 = read_color(c1)
         c2 = read_color(c2) if c2 is not None else c1
         c3 = read_color(c3) if c3 is not None else c1

@@ -1,0 +1,141 @@
+"""Engine-vs-oracle and multi-device sharding tests."""
+
+import numpy as np
+import pytest
+
+from ntracer_tpu.wrapper import NTracer
+from ntracer_tpu.render import Material
+
+
+class _Fmt:
+    def __init__(self, w, h):
+        self.width = w
+        self.height = h
+
+
+def _random_scene(nt, n=24, seed=0, mat=None, lights=()):
+    mat = mat or Material((1, 0.5, 0.5))
+    rng = np.random.RandomState(seed)
+    protos = []
+    for _ in range(n):
+        base = rng.uniform(-2, 2, nt.dimension)
+        pts = [nt.Vector(*(base + rng.uniform(-0.8, 0.8, nt.dimension)))
+               for _ in range(nt.dimension)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector.axis(2, -8))
+    scene.set_camera(cam)
+    for li in lights:
+        scene.add_light(li)
+    return scene
+
+
+def _compare_sampled(scene, w=32, h=32, samples=40, tol=5e-5, seed=1):
+    from ntracer_tpu.engine import wavefront
+    scene._set_view_size(w, h)
+    eng = wavefront.render_strip_composite(scene, _Fmt(w, h), 0, h)
+    rng = np.random.RandomState(seed)
+    worst = 0.0
+    for _ in range(samples):
+        x, y = int(rng.randint(w)), int(rng.randint(h))
+        oc = scene._pixel_color(x, y)
+        worst = max(worst, float(np.abs(oc - eng[y, x]).max()))
+    assert worst < tol, f"worst engine-vs-oracle diff {worst}"
+    return eng
+
+
+def test_engine_matches_oracle_basic():
+    nt = NTracer(3)
+    _compare_sampled(_random_scene(nt))
+
+
+def test_engine_matches_oracle_4d():
+    nt = NTracer(4)
+    _compare_sampled(_random_scene(nt, n=16, seed=3))
+
+
+def test_engine_matches_oracle_lights_shadows():
+    nt = NTracer(3)
+    scene = _random_scene(
+        nt, n=16, seed=5,
+        lights=[nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)),
+                nt.GlobalLight(nt.Vector(0, -1, 0), (0.3, 0.3, 0.3))])
+    scene.set_shadows(True)
+    _compare_sampled(scene, samples=25)
+
+
+def test_engine_matches_oracle_reflection():
+    nt = NTracer(3)
+    mat = Material((1, 0.6, 0.4), reflectivity=0.5)
+    scene = _random_scene(nt, n=16, seed=8, mat=mat)
+    _compare_sampled(scene, samples=25)
+
+
+def test_engine_matches_oracle_transparency():
+    nt = NTracer(3)
+    mat = Material((1, 0.6, 0.4), opacity=0.5)
+    opaque = Material((0.3, 0.8, 0.5))
+    rng = np.random.RandomState(11)
+    protos = []
+    for i in range(12):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-1, 1, 3))) for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, mat if i % 2 else opaque))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector(0, 0, -8))
+    scene.set_camera(cam)
+    _compare_sampled(scene, samples=25, tol=5e-4)
+
+
+def test_engine_solids():
+    nt = NTracer(3)
+    from ntracer_tpu.primitives import CUBE, SPHERE
+    mat = Material((1, 0.5, 0.2))
+    protos = [
+        nt.SolidPrototype(CUBE, nt.Vector(0, 0, 0), nt.Matrix.identity(), mat),
+        nt.SolidPrototype(SPHERE, nt.Vector(2.5, 0, 0), nt.Matrix.identity(),
+                          mat),
+    ]
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector(0.2, 0.1, -9))
+    scene.set_camera(cam)
+    _compare_sampled(scene, samples=30)
+
+
+def test_boxscene_engine_matches_oracle():
+    from ntracer_tpu.engine import wavefront
+    nt = NTracer(4)
+    scene = nt.BoxScene()
+    cam = scene.get_camera()
+    cam.translate(nt.Vector(0.1, -0.2, -4, 0.3))
+    scene.set_camera(cam)
+    w = h = 24
+    scene._set_view_size(w, h)
+    eng = wavefront.render_strip_box(scene, _Fmt(w, h), 0, h)
+    for (x, y) in [(0, 0), (12, 12), (20, 3), (5, 18)]:
+        oc = scene._pixel_color(x, y)
+        assert np.abs(oc - eng[y, x]).max() < 1e-5
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_render_matches_single(shape):
+    import jax
+    from ntracer_tpu.parallel import mesh as pmesh
+    from ntracer_tpu.engine import wavefront
+
+    if len(jax.devices()) < shape[0] * shape[1]:
+        pytest.skip("not enough devices")
+
+    nt = NTracer(3)
+    scene = _random_scene(nt, n=40, seed=2)
+    w = h = 24
+    fmt = _Fmt(w, h)
+    scene._set_view_size(w, h)
+    single = wavefront.render_strip_composite(scene, fmt, 0, h)
+
+    m = pmesh.make_mesh(*shape)
+    sharded = pmesh.render_frame(scene, fmt, m)
+    assert np.abs(single - sharded).max() < 1e-5
