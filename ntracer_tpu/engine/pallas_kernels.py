@@ -1,0 +1,309 @@
+"""Pallas TPU kernels for the ray/triangle hot loop.
+
+The XLA path materializes the (rays x triangles) plane-dot matrices in HBM
+(two matmul outputs + ~10 elementwise passes), which is bandwidth-bound.
+These kernels tile (RAY_BLOCK x TRI_BLOCK) through VMEM: triangle plane rows
+broadcast against ray coordinate columns on the VPU, the nearest-hit
+reduction lives in scratch, and per-chunk AABB culling skips whole tiles
+with ``pl.when`` (the TPU analogue of the reference's k-d early-outs,
+tracer.hpp:1179-1243).
+
+Used for opaque pools (scenes without transparency — the common case and
+all benchmark scenes); transparent scenes fall back to the XLA path.
+
+Math per tile (tracer.hpp:411-440 vectorized):
+    O_p = sum_c o[:,c]    * G[p,c,:]      (RAY_BLOCK, TRI_BLOCK) per plane
+    D_p = sum_c dirs[:,c] * G[p,c,:]
+    t = -(O_0 + dc) / D_0
+    a_i = ci_i - O_i - t*D_i   for the d-1 edge planes
+    hit iff D_0 != 0, t > 0, all a_i in [-FUZZ, 1+FUZZ], sum a_i <= 1+FUZZ
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+f32 = jnp.float32
+
+RAY_BLOCK = 512
+TRI_BLOCK = 512
+
+
+def _interpret():
+    # tests run the kernels in interpreter mode on CPU
+    return jax.default_backend() != "tpu"
+
+ROUNDING_FUZZ = np.float32(np.finfo(np.float32).eps * 10)
+INF = np.float32(np.inf)
+
+
+def prepare_tri_arrays(tri_p1, tri_fn, tri_en, tri_dc, tri_lo, tri_hi, d):
+    """Kernel-friendly triangle layouts (host side, once per scene).
+
+    Returns a dict of numpy arrays: ``gt`` (d*d, T) plane rows (plane-major,
+    coordinate-minor rows; face normal first), ``ci`` (d, T) with row 0 the
+    plane offset -dc and rows 1..d-1 the edge offsets e_i . p1, and
+    per-TRI_BLOCK AABBs ``k_lo``/``k_hi`` (T/TRI_BLOCK, d)."""
+    T = tri_p1.shape[0]
+    assert T % TRI_BLOCK == 0
+    planes = np.concatenate([tri_fn[:, None, :], tri_en], axis=1)  # (T, d, d)
+    gt = np.ascontiguousarray(
+        planes.transpose(1, 2, 0).reshape(d * d, T)).astype(np.float32)
+    ci = np.zeros((d, T), np.float32)
+    ci[0] = -tri_dc
+    ci[1:] = np.einsum("tid,td->it", tri_en, tri_p1, dtype=np.float32)
+
+    nk = T // TRI_BLOCK
+    k_lo = np.zeros((nk, 1, d), np.float32)
+    k_hi = np.zeros((nk, 1, d), np.float32)
+    k_any = np.zeros((nk, 1, 1), np.float32)
+    fn_norm = np.linalg.norm(tri_fn, axis=1)
+    for k in range(nk):
+        sl = slice(k * TRI_BLOCK, (k + 1) * TRI_BLOCK)
+        real = fn_norm[sl] > 0
+        if real.any():
+            k_lo[k, 0] = tri_lo[sl][real].min(axis=0)
+            k_hi[k, 0] = tri_hi[sl][real].max(axis=0)
+            k_any[k, 0, 0] = 1.0
+    return dict(gt=gt, ci=ci, k_lo=k_lo, k_hi=k_hi, k_any=k_any)
+
+
+def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, gt_ref, ci_ref,
+                    lo_ref, hi_ref, any_ref, out_t_ref, out_id_ref,
+                    best_t, best_id):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t[:] = jnp.full_like(best_t, INF)
+        best_id[:] = jnp.full_like(best_id, -1)
+
+    o_b = o_ref[:]          # (RAY_BLOCK, d)
+    d_b = dir_ref[:]        # (RAY_BLOCK, d)
+
+    # conservative slab test of this tri block's AABB against the ray block
+    lo = lo_ref[0, 0, :]    # (d,)
+    hi = hi_ref[0, 0, :]
+    tn = jnp.full((RAY_BLOCK, 1), -INF, f32)
+    tf = jnp.full((RAY_BLOCK, 1), INF, f32)
+    for c in range(d):
+        dc_ = d_b[:, c:c + 1]
+        oc = o_b[:, c:c + 1]
+        inv = jnp.where(dc_ != 0, 1.0 / dc_, jnp.where(dc_ >= 0, INF, -INF))
+        t0 = (lo[c] - oc) * inv
+        t1 = (hi[c] - oc) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    entry = jnp.maximum(tn, 0.0)
+    box_hit = (tf >= entry) & (tf >= 0)
+    entry = jnp.where(box_hit, entry, INF)
+
+    run = (any_ref[0, 0, 0] != 0) & jnp.any(entry < best_t[:])
+
+    @pl.when(run)
+    def _():
+        # plane dots: O_p/D_p = sum_c coord_col * plane_row
+        O = []
+        D = []
+        for p in range(d):
+            accO = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
+            accD = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
+            for c in range(d):
+                row = gt_ref[p * d + c, :][None, :]       # (1, TRI_BLOCK)
+                accO += o_b[:, c:c + 1] * row
+                accD += d_b[:, c:c + 1] * row
+            O.append(accO)
+            D.append(accD)
+
+        denom = D[0]
+        t = (ci_ref[0, :][None, :] - O[0]) / denom        # ci[0] = -dc
+        valid = (denom != 0) & (t > 0)
+
+        tot = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
+        for i in range(1, d):
+            a = ci_ref[i, :][None, :] - O[i] - t * D[i]
+            valid &= (a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ)
+            tot += a
+        valid &= tot <= 1 + ROUNDING_FUZZ
+
+        ids = (j * TRI_BLOCK
+               + jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, TRI_BLOCK), 1))
+        valid &= ids != skip_ref[:]
+
+        tm = jnp.where(valid, t, INF)
+        ct = jnp.min(tm, axis=1, keepdims=True)           # (RAY_BLOCK, 1)
+        carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
+        cid = j * TRI_BLOCK + carg
+        upd = ct < best_t[:]
+        best_t[:] = jnp.where(upd, ct, best_t[:])
+        best_id[:] = jnp.where(upd, cid, best_id[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_t_ref[:] = best_t[:]
+        out_id_ref[:] = best_id[:]
+
+
+@partial(jax.jit, static_argnames=("d",))
+def nearest_hit(kern, o, dirs, skip, d):
+    """Nearest opaque hit over the whole pool.  Returns (t, local_id):
+    t=inf / id=-1 for misses.  ``skip`` is a LOCAL pool index (or -1)."""
+    R = o.shape[0]
+    T = kern["gt"].shape[1]
+    ni = R // RAY_BLOCK
+    nj = T // TRI_BLOCK
+
+    grid = (ni, nj)
+    out_t, out_id = pl.pallas_call(
+        partial(_nearest_kernel, d, nj),
+        grid=grid,
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, TRI_BLOCK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TRI_BLOCK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+        ],
+    )(o, dirs, skip[:, None], kern["gt"], kern["ci"], kern["k_lo"],
+      kern["k_hi"], kern["k_any"])
+    return out_t[:, 0], out_id[:, 0]
+
+
+def _occlusion_kernel(d, nj, o_ref, dir_ref, skip_ref, ldist_ref, gt_ref,
+                      ci_ref, lo_ref, hi_ref, any_ref, out_ref, blocked):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        blocked[:] = jnp.zeros_like(blocked)
+
+    o_b = o_ref[:]
+    d_b = dir_ref[:]
+    ldist = ldist_ref[:]
+
+    lo = lo_ref[0, 0, :]
+    hi = hi_ref[0, 0, :]
+    tn = jnp.full((RAY_BLOCK, 1), -INF, f32)
+    tf = jnp.full((RAY_BLOCK, 1), INF, f32)
+    for c in range(d):
+        dc_ = d_b[:, c:c + 1]
+        oc = o_b[:, c:c + 1]
+        inv = jnp.where(dc_ != 0, 1.0 / dc_, jnp.where(dc_ >= 0, INF, -INF))
+        t0 = (lo[c] - oc) * inv
+        t1 = (hi[c] - oc) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    entry = jnp.maximum(tn, 0.0)
+    box_hit = (tf >= entry) & (tf >= 0)
+    entry = jnp.where(box_hit, entry, INF)
+
+    run = (any_ref[0, 0, 0] != 0) & jnp.any((entry < ldist) & (blocked[:] == 0))
+
+    @pl.when(run)
+    def _():
+        O = []
+        D = []
+        for p in range(d):
+            accO = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
+            accD = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
+            for c in range(d):
+                row = gt_ref[p * d + c, :][None, :]
+                accO += o_b[:, c:c + 1] * row
+                accD += d_b[:, c:c + 1] * row
+            O.append(accO)
+            D.append(accD)
+
+        denom = D[0]
+        t = (ci_ref[0, :][None, :] - O[0]) / denom
+        valid = (denom != 0) & (t > 0) & (t < ldist)
+
+        tot = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
+        for i in range(1, d):
+            a = ci_ref[i, :][None, :] - O[i] - t * D[i]
+            valid &= (a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ)
+            tot += a
+        valid &= tot <= 1 + ROUNDING_FUZZ
+
+        ids = (j * TRI_BLOCK
+               + jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, TRI_BLOCK), 1))
+        valid &= ids != skip_ref[:]
+
+        hit = jnp.any(valid, axis=1, keepdims=True)
+        blocked[:] = jnp.where(hit, jnp.ones_like(blocked), blocked[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = blocked[:]
+
+
+@partial(jax.jit, static_argnames=("d",))
+def occluded(kern, o, dirs, ldist, skip, d):
+    """Any-hit within distance (opaque pool).  Returns (R,) bool."""
+    R = o.shape[0]
+    T = kern["gt"].shape[1]
+    ni = R // RAY_BLOCK
+    nj = T // TRI_BLOCK
+
+    out = pl.pallas_call(
+        partial(_occlusion_kernel, d, nj),
+        grid=(ni, nj),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, TRI_BLOCK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TRI_BLOCK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RAY_BLOCK, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((RAY_BLOCK, 1), jnp.int32)],
+    )(o, dirs, skip[:, None], ldist[:, None], kern["gt"], kern["ci"],
+      kern["k_lo"], kern["k_hi"], kern["k_any"])
+    return out[:, 0] != 0

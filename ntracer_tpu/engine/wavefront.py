@@ -101,9 +101,14 @@ def _tri_chunk_test(o, dirs, p1, fn, en, dc, d):
     C = p1.shape[0]
     planes = _chunk_planes(p1, fn, en)            # (C, d, d)
     g = planes.transpose(1, 0, 2).reshape(d * C, d)   # plane-major rows
+    # Precision.HIGHEST is required: the default TPU f32 matmul uses bf16
+    # passes whose ~1e-3 error flips the ROUNDING_FUZZ-tight edge tests on
+    # coplanar geometry (verified against the scalar oracle).
     O = jax.lax.dot_general(o, g, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)   # (R, d*C)
     D = jax.lax.dot_general(dirs, g, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)   # (R, d*C)
 
     denom = D[:, 0:C]                             # fn . dir
@@ -152,12 +157,35 @@ def _slab_entry(o, dirs, lo, hi):
     return jnp.where(hit, entry, INF)
 
 
+def _kernel_ok(arrs, cfg, R):
+    """Use the Pallas nearest-hit kernel when the pool is opaque and the
+    kernel arrays were prepared (TPU backend, ray count divisible by the
+    ray block)."""
+    from . import pallas_kernels as pk
+    return ("kern_gt" in arrs and not cfg.has_transparency
+            and R % pk.RAY_BLOCK == 0)
+
+
 def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
     """Nearest-opaque + top-K transparent trace over the triangle pool and
     solids.  Returns a dict of per-ray results."""
     R = o.shape[0]
     d = cfg.d
     K = cfg.max_transparent_hits if cfg.has_transparency else 0
+
+    if _kernel_ok(arrs, cfg, R):
+        from . import pallas_kernels as pk
+        kern = dict(gt=arrs["kern_gt"], ci=arrs["kern_ci"],
+                    k_lo=arrs["kern_klo"], k_hi=arrs["kern_khi"],
+                    k_any=arrs["kern_kany"])
+        skip_local = skip - arrs["tri_base"]
+        kt, kid = pk.nearest_hit(kern, o, dirs, skip_local, d)
+        carry = dict(
+            t=jnp.where(kid >= 0, kt, REAL_MAX),
+            pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
+        )
+        return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
+
     ck = _chunk_arrays(arrs, cfg)
     nc = ck["p1"].shape[0]
 
@@ -215,7 +243,12 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
           ck["lo"], ck["hi"], ck["nonempty"],
           jnp.arange(nc, dtype=jnp.int32))
     carry, _ = jax.lax.scan(lambda c, x: chunk_step(c, x), init, xs)
+    return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
 
+
+def _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R):
+    """Solids, cross-shard reduction and hit geometry for trace_pool."""
+    d = cfg.d
     # --- solids (static loop; S is tiny) ---------------------------------
     for s in range(cfg.n_solids):
         st, sp, sn = _solid_test(arrs, s, o, dirs, d)
@@ -343,6 +376,17 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip):
     (light_reaches, tracer.hpp:1750-1766, with true any-hit semantics)."""
     R = o.shape[0]
     d = cfg.d
+
+    if _kernel_ok(arrs, cfg, R):
+        from . import pallas_kernels as pk
+        kern = dict(gt=arrs["kern_gt"], ci=arrs["kern_ci"],
+                    k_lo=arrs["kern_klo"], k_hi=arrs["kern_khi"],
+                    k_any=arrs["kern_kany"])
+        skip_local = skip - arrs["tri_base"]
+        blocked = pk.occluded(kern, o, dirs, ldist, skip_local, d)
+        carry = dict(blocked=blocked, filt=jnp.ones((R,), f32))
+        return _occlusion_finish(arrs, cfg, o, dirs, ldist, skip, carry)
+
     ck = _chunk_arrays(arrs, cfg)
     nc = ck["p1"].shape[0]
     ids_base = jnp.arange(CHUNK, dtype=jnp.int32)
@@ -376,7 +420,11 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip):
           ck["lo"], ck["hi"], ck["nonempty"],
           jnp.arange(nc, dtype=jnp.int32))
     carry, _ = jax.lax.scan(chunk_step, init, xs)
+    return _occlusion_finish(arrs, cfg, o, dirs, ldist, skip, carry)
 
+
+def _occlusion_finish(arrs, cfg, o, dirs, ldist, skip, carry):
+    d = cfg.d
     for s in range(cfg.n_solids):
         st, _, _ = _solid_test(arrs, s, o, dirs, d)
         sid = arrs["sol_base"] + s
@@ -834,6 +882,18 @@ def get_device_scene(scene):
         arrs["ck_nonempty"] = nonempty
         arrs["tri_base"] = np.int32(0)
         arrs["sol_base"] = np.int32(flat.config.n_tris)
+        # Pallas kernel layouts (opaque pools on TPU)
+        if (jax.default_backend() == "tpu"
+                and not flat.config.has_transparency):
+            from . import pallas_kernels as pk
+            kern = pk.prepare_tri_arrays(
+                arrs["tri_p1"], arrs["tri_fn"], arrs["tri_en"],
+                arrs["tri_dc"], arrs["tri_lo"], arrs["tri_hi"], d)
+            arrs["kern_gt"] = kern["gt"]
+            arrs["kern_ci"] = kern["ci"]
+            arrs["kern_klo"] = kern["k_lo"]
+            arrs["kern_khi"] = kern["k_hi"]
+            arrs["kern_kany"] = kern["k_any"]
         device = {k: jnp.asarray(v) for k, v in arrs.items()
                   if k not in ("tri_lo", "tri_hi")}
         scene._device_cache = (flat.config, device, flat)

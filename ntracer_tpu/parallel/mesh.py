@@ -116,12 +116,14 @@ def build_sharded_renderer(scene, mesh: Mesh, tile: int):
         return ray_colors(arrs_l, cfg_shard, dyn, o, dirs)
 
     dyn_spec = dict(ambient=P(), bg1=P(), bg2=P(), bg3=P())
-    fn = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(specs, dyn_spec, P(), P(), (P(), P(), P()),
-                  P("px"), P("px")),
-        out_specs=P("px", None),
-        check_rep=False)
+    in_specs = (specs, dyn_spec, P(), P(), (P(), P(), P()),
+                P("px"), P("px"))
+    try:
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("px", None), check_vma=False)
+    except TypeError:  # older shard_map API
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("px", None), check_rep=False)
     return jax.jit(fn), arrs
 
 
