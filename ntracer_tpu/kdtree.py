@@ -77,23 +77,25 @@ def _aabb_tri(start, end, proto: TrianglePrototype) -> bool:
         return False
 
     half = ((end - start) / 2).astype(f32)
-    for axis in _tri_axes(proto):
-        for j in range(d):
-            vals = np.asarray([_skip_dot(p, axis, j) for p in pts], dtype=f32)
-            t_min = vals.min()
-            t_max = vals.max()
-            po = _skip_dot(origin, axis, j)
-            b_radius = f32(0)
-            for k in range(d):
-                if k != j:
-                    b_radius += abs(half[k] * axis[k])
-            b_min = po - b_radius
-            b_max = po + b_radius
-            # if b_radius is 0 the axis is parallel to the skipped dimension
-            # and the test is invalid
-            if b_radius != 0 and (b_max <= t_min or b_min >= t_max):
-                return False
-    return True
+    ax = np.concatenate([proto._first_edge_normal[None],
+                         tri._en], axis=0).astype(f32)           # (a, d)
+
+    # skip-dots vectorized over (point p, axis a, skipped dim j)
+    full = np.einsum("pc,ac->pa", pts, ax, dtype=f32)
+    term = pts[:, None, :] * ax[None, :, :]                      # (p, a, j)
+    sd = full[:, :, None] - term
+    t_min = sd.min(axis=0)                                       # (a, j)
+    t_max = sd.max(axis=0)
+
+    ofull = ax @ origin                                          # (a,)
+    po2 = ofull[:, None] - origin[None, :] * ax                  # (a, j)
+
+    habs = np.abs(half[None, :] * ax)                            # (a, j)
+    b_rad = habs.sum(axis=1)[:, None] - habs
+    # a zero radius means the axis is parallel to the skipped dimension and
+    # the test is invalid (tracer.hpp:1505-1507)
+    sep = (b_rad != 0) & ((po2 + b_rad <= t_min) | (po2 - b_rad >= t_max))
+    return not sep.any()
 
 
 def _aabb_tri_flat(start, end, proto: TrianglePrototype, skip: int) -> bool:
@@ -138,14 +140,17 @@ def _skip_dot_b(a, b, skip):
 
 
 def _aabb_tri_batch(start, end, proto: TriangleBatchPrototype) -> bool:
-    """tracer.hpp:1543-1591 — true unless every lane misses."""
+    """tracer.hpp:1543-1591 — true unless every lane misses.
+
+    Fully vectorized over (edge-axis a, skipped dim j, lane b): this is the
+    SAH builder's hot test (thousands of calls per build)."""
     tb = proto.boundary
     if np.any(tb._start >= end) or np.any(tb._end <= start):
         return False
 
     d = start.shape[0]
     batch = proto.primitive
-    pts = proto._points  # (d, B, d)
+    pts = proto._points  # (d, B, d): point p, lane b, coord c
     n_offset = np.einsum("bd,bd->b", batch._fn, pts[0]).astype(f32)
     origin = ((start + end) * f32(0.5)).astype(f32)
     po = (batch._fn @ origin).astype(f32)
@@ -157,26 +162,32 @@ def _aabb_tri_batch(start, end, proto: TriangleBatchPrototype) -> bool:
         return False
 
     half = ((end - start) / 2).astype(f32)
-    for axis in _batch_axes(proto):  # (B, d)
-        for j in range(d):
-            vals = np.stack([_skip_dot_b(p, axis, j) for p in pts])  # (d, B)
-            t_min = vals.min(axis=0)
-            t_max = vals.max(axis=0)
-            po = _skip_dot_b(origin[None, :], axis, j)
-            b_radius = np.zeros(axis.shape[0], dtype=f32)
-            for k in range(d):
-                if k != j:
-                    b_radius += np.abs(half[k] * axis[:, k])
-            b_min = po - b_radius
-            b_max = po + b_radius
-            miss = miss | ((b_radius != 0) & ((b_max <= t_min) | (b_min >= t_max)))
-            if miss.all():
-                return False
-    return True
+    ax = np.concatenate([proto._first_edge_normal[None],
+                         batch._en], axis=0).astype(f32)  # (d, B, d)
+
+    # skip-dots of every point against every axis with every dim skipped:
+    # SD[p,a,j,b] = sum_{c != j} pts[p,b,c] * ax[a,b,c]
+    full = np.einsum("pbc,abc->pab", pts, ax, dtype=f32)        # (d, a, B)
+    term = np.einsum("pbj,abj->pajb", pts, ax, dtype=f32)       # (d, a, j, B)
+    sd = full[:, :, None, :] - term
+    t_min = sd.min(axis=0)                                      # (a, j, B)
+    t_max = sd.max(axis=0)
+
+    ofull = np.einsum("c,abc->ab", origin, ax, dtype=f32)       # (a, B)
+    oterm = np.einsum("j,abj->ajb", origin, ax, dtype=f32)
+    po2 = ofull[:, None, :] - oterm                             # (a, j, B)
+
+    habs = np.abs(half[None, None, :] * ax)                     # (a, B, d)
+    hfull = habs.sum(axis=2)                                    # (a, B)
+    b_rad = hfull[:, None, :] - habs.transpose(0, 2, 1)         # (a, j, B)
+
+    sep = (b_rad != 0) & ((po2 + b_rad <= t_min) | (po2 - b_rad >= t_max))
+    miss = miss | sep.any(axis=(0, 1))
+    return not miss.all()
 
 
 def _aabb_tri_batch_flat(start, end, proto, skip: int) -> bool:
-    """tracer.hpp:1593-1627."""
+    """tracer.hpp:1593-1627, vectorized over (axis a, lane b)."""
     d = start.shape[0]
     tb = proto.boundary
     for i in range(d):
@@ -184,25 +195,31 @@ def _aabb_tri_batch_flat(start, end, proto, skip: int) -> bool:
             return False
 
     origin = ((start + end) * f32(0.5)).astype(f32)
-    pts = proto._points
+    pts = proto._points                                          # (d, B, d)
     half = ((end - start) / 2).astype(f32)
-    miss = np.zeros(pts.shape[1], dtype=bool)
-    for i, axis in enumerate(_batch_axes(proto)):
-        tmp1 = _skip_dot_b(pts[0], axis, skip)
-        tmp2 = _skip_dot_b(pts[i if i else 1], axis, skip)
-        t_max = np.maximum(tmp1, tmp2)
-        t_min = np.minimum(tmp1, tmp2)
-        po = _skip_dot_b(origin[None, :], axis, skip)
-        b_max = np.zeros(axis.shape[0], dtype=f32)
-        for k in range(d):
-            if k != skip:
-                b_max += np.abs(half[k] * axis[:, k])
-        b_min = po - b_max
-        b_max = b_max + po
-        miss = miss | (b_max <= t_min) | (b_min >= t_max)
-        if miss.all():
-            return False
-    return True
+    batch = proto.primitive
+    ax = np.concatenate([proto._first_edge_normal[None],
+                         batch._en], axis=0).astype(f32)         # (d, B, d)
+
+    def skip_dot(v):  # v: (d, B, d) or broadcastable; -> (a, B)
+        m = v * ax
+        return (m.sum(axis=2) - m[:, :, skip]).astype(f32)
+
+    tmp1 = skip_dot(pts[0][None])                                # (a, B)
+    # per axis a, the second point is pts[a if a else 1]
+    idx = np.arange(d)
+    idx2 = np.where(idx == 0, 1, idx)
+    p2 = pts[idx2]                                               # (a, B, d)
+    m2 = p2 * ax
+    tmp2 = (m2.sum(axis=2) - m2[:, :, skip]).astype(f32)
+    t_max = np.maximum(tmp1, tmp2)
+    t_min = np.minimum(tmp1, tmp2)
+
+    po = skip_dot(origin[None, None, :])
+    habs = np.abs(half[None, None, :] * ax)
+    b_rad = habs.sum(axis=2) - habs[:, :, skip]
+    miss = (po + b_rad <= t_min) | (po - b_rad >= t_max)
+    return not miss.any(axis=0).all()
 
 
 def _box_axis_test(solid, start, end, axis) -> bool:
@@ -485,23 +502,42 @@ def group_primitives(primitives):
     # are nearby, so we bound the scan to a window; this only affects batch
     # quality (performance), never correctness.
     WINDOW = 96
+    d = items[0].dimension
+    starts = np.stack([p.boundary._start if p is not None else
+                       np.zeros(d, f32) for p in items])
+    ends = np.stack([p.boundary._end if p is not None else
+                     np.zeros(d, f32) for p in items])
+
+    def window_metrics(pi, idxs):
+        """grouping_metric (combined-AABB surface) vectorized over
+        candidates, with leave-one-out products to tolerate zero extents."""
+        comb = (np.maximum(ends[pi][None], ends[idxs])
+                - np.minimum(starts[pi][None], starts[idxs])).astype(f32)
+        n_, dd = comb.shape
+        prefix = np.ones((n_, dd + 1), f32)
+        suffix = np.ones((n_, dd + 1), f32)
+        for k in range(dd):
+            prefix[:, k + 1] = prefix[:, k] * comb[:, k]
+            suffix[:, dd - 1 - k] = suffix[:, dd - k] * comb[:, dd - 1 - k]
+        # surface term i = prod of all dims except i
+        loo = prefix[:, :dd] * suffix[:, 1:]
+        return loo.sum(axis=1)
+
     for pi in range(len(items)):
         p = items[pi]
         if p is None or not isinstance(p, TrianglePrototype):
             continue
-        # candidates: (metric, index), sorted by metric, take BATCH_SIZE-1
-        cand = []
+        idxs = []
         pj = pi + 1
-        remaining = 0
-        while pj < len(items) and remaining < WINDOW:
+        while pj < len(items) and len(idxs) < WINDOW:
             q = items[pj]
             if q is not None and isinstance(q, TrianglePrototype):
-                cand.append((grouping_metric(p, q), pj))
-                remaining += 1
+                idxs.append(pj)
             pj += 1
-        if len(cand) < BATCH_SIZE - 1:
+        if len(idxs) < BATCH_SIZE - 1:
             break
-        cand.sort(key=lambda x: x[0])
+        metrics = window_metrics(pi, np.asarray(idxs))
+        cand = sorted(zip(metrics.tolist(), idxs))
         chosen = [pi] + [j for _, j in cand[:BATCH_SIZE - 1]]
         batch = TriangleBatchPrototype([items[j] for j in chosen])
         items[pi] = batch
@@ -526,6 +562,11 @@ def build_tree(prototypes, params: KDTreeParams, make_leaf, make_branch,
         b_end = np.maximum(b_end, p.boundary._end)
 
     grouped = group_primitives(prototypes) if group else list(prototypes)
-    root = create_node(-1, b_start.copy(), b_end.copy(), grouped, [], params,
-                       make_leaf, make_branch)
+
+    # native C++ SAH builder (csrc/kd_builder.cpp); NumPy fallback below
+    from . import native
+    root = native.build_tree_native(grouped, params, make_leaf, make_branch)
+    if root is None:
+        root = create_node(-1, b_start.copy(), b_end.copy(), grouped, [],
+                           params, make_leaf, make_branch)
     return b_start, b_end, root, grouped

@@ -1,0 +1,197 @@
+"""ctypes bridge to the native (C++) SAH k-d builder.
+
+The reference builds its tree in multithreaded C++ (tracer.hpp:2131-2455);
+our equivalent native component is csrc/kd_builder.cpp, compiled on first
+use (g++ is part of the image).  ntracer_tpu/kdtree.py calls
+``build_tree_native`` and falls back to the NumPy builder when the library
+is unavailable or ``NTRACER_NO_NATIVE`` is set.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+f32 = np.float32
+
+_lock = threading.Lock()
+_lib = None
+_lib_tried = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "csrc", "kd_builder.cpp")
+
+
+def _so_path():
+    cache = os.path.join(os.path.expanduser("~/.cache/ntracer_tpu"))
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "_ntr_native.so")
+
+
+def get_lib():
+    global _lib, _lib_tried
+    with _lock:
+        if _lib is not None or _lib_tried:
+            return _lib
+        _lib_tried = True
+        if os.environ.get("NTRACER_NO_NATIVE"):
+            return None
+        so = _so_path()
+        try:
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
+                     "-o", so + ".tmp"],
+                    check=True, capture_output=True)
+                os.replace(so + ".tmp", so)
+            lib = ctypes.CDLL(so)
+        except Exception:
+            return None
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ntr_build.restype = ctypes.c_void_p
+        lib.ntr_build.argtypes = [
+            ctypes.c_int, ctypes.c_int, f32p, f32p, i32p, i32p, i32p,
+            f32p, f32p, f32p, f32p, f32p, f32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float, i32p]
+        lib.ntr_num_nodes.restype = ctypes.c_int32
+        lib.ntr_num_nodes.argtypes = [ctypes.c_void_p]
+        lib.ntr_num_items.restype = ctypes.c_int32
+        lib.ntr_num_items.argtypes = [ctypes.c_void_p]
+        lib.ntr_get_nodes.restype = None
+        lib.ntr_get_nodes.argtypes = [ctypes.c_void_p, i32p, f32p, i32p,
+                                      i32p, i32p, i32p, i32p]
+        lib.ntr_free.restype = None
+        lib.ntr_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def _fp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ip(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def build_tree_native(prototypes, params, make_leaf, make_branch):
+    """Run the C++ SAH build over (already batch-grouped) prototypes.
+
+    Returns the root node built via ``make_leaf``/``make_branch``, or None
+    when the native library is unavailable."""
+    from .primitives import (TrianglePrototype, TriangleBatchPrototype,
+                             SolidPrototype)
+
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    n = len(prototypes)
+    d = prototypes[0].dimension
+
+    b_start = np.empty((n, d), f32)
+    b_end = np.empty((n, d), f32)
+    kind = np.zeros(n, np.int32)
+    tri_offset = np.zeros(n, np.int32)
+    tri_count = np.zeros(n, np.int32)
+    sol_orient = np.zeros((n, d, d), f32)
+    sol_inv = np.zeros((n, d, d), f32)
+    sol_pos = np.zeros((n, d), f32)
+
+    pts_list, axes_list, fn_list = [], [], []
+    members = 0
+    for u, p in enumerate(prototypes):
+        b_start[u] = p.boundary._start
+        b_end[u] = p.boundary._end
+        if isinstance(p, TrianglePrototype):
+            kind[u] = 0
+            tri_offset[u] = members
+            tri_count[u] = 1
+            members += 1
+            tri = p.primitive
+            pts_list.append(p._points)
+            axes_list.append(np.concatenate(
+                [p._first_edge_normal[None], tri._en], axis=0))
+            fn_list.append(tri._fn)
+        elif isinstance(p, TriangleBatchPrototype):
+            batch = p.primitive
+            B = len(batch)
+            kind[u] = 0
+            tri_offset[u] = members
+            tri_count[u] = B
+            members += B
+            for i in range(B):
+                pts_list.append(p._points[:, i, :])
+                axes_list.append(np.concatenate(
+                    [p._first_edge_normal[i][None], batch._en[:, i]], axis=0))
+                fn_list.append(batch._fn[i])
+        elif isinstance(p, SolidPrototype):
+            s = p.primitive
+            kind[u] = s._type  # CUBE=1, SPHERE=2
+            sol_orient[u] = s._orientation
+            sol_inv[u] = s._inv_orientation
+            sol_pos[u] = s._position
+        else:
+            return None  # unknown prototype: fall back to Python
+
+    if members:
+        pts = np.ascontiguousarray(np.stack(pts_list), dtype=f32)
+        axes = np.ascontiguousarray(np.stack(axes_list), dtype=f32)
+        fnormal = np.ascontiguousarray(np.stack(fn_list), dtype=f32)
+    else:
+        pts = np.zeros((1, d, d), f32)
+        axes = np.zeros((1, d, d), f32)
+        fnormal = np.zeros((1, d), f32)
+
+    b_start = np.ascontiguousarray(b_start)
+    b_end = np.ascontiguousarray(b_end)
+
+    root_out = np.zeros(1, np.int32)
+    h = lib.ntr_build(
+        n, d, _fp(b_start), _fp(b_end), _ip(kind), _ip(tri_offset),
+        _ip(tri_count), _fp(pts), _fp(axes), _fp(fnormal), _fp(sol_orient),
+        _fp(sol_inv), _fp(sol_pos), int(params.max_depth),
+        int(params.split_threshold), float(params.traversal),
+        float(params.intersection), _ip(root_out))
+    try:
+        n_nodes = lib.ntr_num_nodes(h)
+        n_items = lib.ntr_num_items(h)
+        axis = np.empty(n_nodes, np.int32)
+        split = np.empty(n_nodes, f32)
+        left = np.empty(n_nodes, np.int32)
+        right = np.empty(n_nodes, np.int32)
+        leaf_start = np.empty(n_nodes, np.int32)
+        leaf_count = np.empty(n_nodes, np.int32)
+        items = np.empty(max(n_items, 1), np.int32)
+        lib.ntr_get_nodes(h, _ip(axis), _fp(split), _ip(left), _ip(right),
+                          _ip(leaf_start), _ip(leaf_count), _ip(items))
+    finally:
+        lib.ntr_free(h)
+
+    root = int(root_out[0])
+    if root < 0:
+        return None
+
+    def build(i):
+        if i < 0:
+            return None
+        if axis[i] < 0:
+            sl = items[leaf_start[i]:leaf_start[i] + leaf_count[i]]
+            return make_leaf([prototypes[u] for u in sl])
+        return make_branch(int(axis[i]), float(split[i]),
+                           build(int(left[i])), build(int(right[i])))
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10000))
+    try:
+        return build(root)
+    finally:
+        sys.setrecursionlimit(old)
