@@ -108,26 +108,25 @@ def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, gt_ref, ci_ref,
 
     @pl.when(run)
     def _():
-        # plane dots: O_p/D_p = sum_c coord_col * plane_row
-        O = []
-        D = []
-        for p in range(d):
+        # plane dots streamed per plane — only one O/D pair live at a time
+        # (keeping all d pairs in VMEM spills at 512x512 tiles)
+        def plane_dots(p):
             accO = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
             accD = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
             for c in range(d):
                 row = gt_ref[p * d + c, :][None, :]       # (1, TRI_BLOCK)
                 accO += o_b[:, c:c + 1] * row
                 accD += d_b[:, c:c + 1] * row
-            O.append(accO)
-            D.append(accD)
+            return accO, accD
 
-        denom = D[0]
-        t = (ci_ref[0, :][None, :] - O[0]) / denom        # ci[0] = -dc
+        O0, denom = plane_dots(0)
+        t = (ci_ref[0, :][None, :] - O0) / denom          # ci[0] = -dc
         valid = (denom != 0) & (t > 0)
 
         tot = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
         for i in range(1, d):
-            a = ci_ref[i, :][None, :] - O[i] - t * D[i]
+            Oi, Di = plane_dots(i)
+            a = ci_ref[i, :][None, :] - Oi - t * Di
             valid &= (a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ)
             tot += a
         valid &= tot <= 1 + ROUNDING_FUZZ
@@ -233,25 +232,23 @@ def _occlusion_kernel(d, nj, o_ref, dir_ref, skip_ref, ldist_ref, gt_ref,
 
     @pl.when(run)
     def _():
-        O = []
-        D = []
-        for p in range(d):
+        def plane_dots(p):
             accO = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
             accD = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
             for c in range(d):
                 row = gt_ref[p * d + c, :][None, :]
                 accO += o_b[:, c:c + 1] * row
                 accD += d_b[:, c:c + 1] * row
-            O.append(accO)
-            D.append(accD)
+            return accO, accD
 
-        denom = D[0]
-        t = (ci_ref[0, :][None, :] - O[0]) / denom
+        O0, denom = plane_dots(0)
+        t = (ci_ref[0, :][None, :] - O0) / denom
         valid = (denom != 0) & (t > 0) & (t < ldist)
 
         tot = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
         for i in range(1, d):
-            a = ci_ref[i, :][None, :] - O[i] - t * D[i]
+            Oi, Di = plane_dots(i)
+            a = ci_ref[i, :][None, :] - Oi - t * Di
             valid &= (a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ)
             tot += a
         valid &= tot <= 1 + ROUNDING_FUZZ

@@ -712,11 +712,12 @@ def _tile_packed_box(d, cam_origin, cam_t, fov_params, start, w, key):
 
 @partial(jax.jit, static_argnames=("cfg", "w", "n_tiles", "key"))
 def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
-                            w, n_tiles, key):
-    """Whole frame in one dispatch: lax.map over ray tiles -> packed bytes.
-
-    One launch + one device-to-host pull per frame; on tunneled TPU setups
-    the per-call round trip (~30 ms) would otherwise dominate."""
+                            base, w, n_tiles, key):
+    """A slab of the frame in one dispatch: lax.map over ray tiles ->
+    packed bytes.  Few launches + few device-to-host pulls per frame; on
+    tunneled TPU setups the per-call round trip (~30 ms) would otherwise
+    dominate, while slab-level pipelining overlaps compute with the pull
+    of the previous slab."""
     from . import packing
     fovI, half_w, half_h = fov_params
 
@@ -728,13 +729,14 @@ def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
         colors = ray_colors(arrs, cfg, dyn, o, dirs)
         return packing.pack_device(colors, key)
 
-    starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE
+    starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * TILE
     out = jax.lax.map(tile, starts)
     return out.reshape(n_tiles * TILE, -1)
 
 
 @partial(jax.jit, static_argnames=("d", "w", "n_tiles", "key"))
-def _frame_packed_box(d, cam_origin, cam_t, fov_params, w, n_tiles, key):
+def _frame_packed_box(d, cam_origin, cam_t, fov_params, base, w, n_tiles,
+                      key):
     from . import packing
 
     def tile(start):
@@ -744,7 +746,7 @@ def _frame_packed_box(d, cam_origin, cam_t, fov_params, w, n_tiles, key):
         colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
         return packing.pack_device(colors, key)
 
-    starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE
+    starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * TILE
     out = jax.lax.map(tile, starts)
     return out.reshape(n_tiles * TILE, -1)
 
@@ -767,27 +769,49 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
     if abort_check():
         return False
 
+    # split into a few slabs so the next slab's compute overlaps the
+    # previous slab's device-to-host pull
+    n_slabs = min(4, n_tiles)
+    per = -(-n_tiles // n_slabs)
+    slab_tiles = []
+    t0 = 0
+    while t0 < n_tiles:
+        slab_tiles.append((t0, min(per, n_tiles - t0)))
+        t0 += per
+
     if hasattr(scene, "_device_cache"):
         cfg, device, _flat = get_device_scene(scene)
         dyn = _scene_dyn(scene)
-        dev = _frame_packed_composite(device, cfg, dyn, cam_origin, cam_t,
-                                      fov, fmt.width, n_tiles, key)
+        slabs = [_frame_packed_composite(device, cfg, dyn, cam_origin,
+                                         cam_t, fov, jnp.int32(s0 * TILE),
+                                         fmt.width, nt_, key)
+                 for s0, nt_ in slab_tiles]
     else:
-        dev = _frame_packed_box(scene.dimension, cam_origin, cam_t, fov,
-                                fmt.width, n_tiles, key)
+        slabs = [_frame_packed_box(scene.dimension, cam_origin, cam_t, fov,
+                                   jnp.int32(s0 * TILE), fmt.width, nt_, key)
+                 for s0, nt_ in slab_tiles]
 
-    if abort_check():
-        return False
-    data = np.asarray(dev)  # one D2H per frame
     bpp = fmt.bytes_per_pixel
-    flat = data[:total].reshape(-1)
-    if fmt.pitch == fmt.width * bpp:
-        view[:total * bpp] = flat.tobytes()
-    else:
-        row = fmt.width * bpp
-        for y in range(fmt.height):
-            view[y * fmt.pitch:y * fmt.pitch + row] = \
-                flat[y * row:(y + 1) * row].tobytes()
+    contiguous = fmt.pitch == fmt.width * bpp
+    for (s0, _nt), dev in zip(slab_tiles, slabs):
+        if abort_check():
+            return False
+        data = np.asarray(dev)  # D2H; later slabs still computing
+        start_px = s0 * TILE
+        count = min(data.shape[0], total - start_px)
+        flat = data[:count].reshape(-1)
+        if contiguous:
+            view[start_px * bpp:(start_px + count) * bpp] = flat.tobytes()
+        else:
+            p = start_px
+            off = 0
+            while p < start_px + count:
+                y, x = divmod(p, fmt.width)
+                n = min(fmt.width - x, start_px + count - p)
+                dst = y * fmt.pitch + x * bpp
+                view[dst:dst + n * bpp] = flat[off:off + n * bpp].tobytes()
+                off += n * bpp
+                p += n
     return True
 
 
