@@ -770,8 +770,9 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
         return False
 
     # split into a few slabs so the next slab's compute overlaps the
-    # previous slab's device-to-host pull
-    n_slabs = min(4, n_tiles)
+    # previous slab's device-to-host pull; small frames use one slab (each
+    # pull costs a host-link round trip)
+    n_slabs = max(1, min(4, n_tiles // 4))
     per = -(-n_tiles // n_slabs)
     slab_tiles = []
     t0 = 0

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Run the five BASELINE.md configs and print one JSON line per config.
+
+Works against either implementation:
+    python scripts/bench_suite.py            # ntracer_tpu (TPU)
+    PYTHONPATH=<reference build> python scripts/bench_suite.py --reference
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--reference", action="store_true",
+                    help="drop the repo paths so the reference package loads")
+parser.add_argument("--frames", type=int, default=8)
+args = parser.parse_args()
+
+if args.reference:
+    sys.path = [p for p in sys.path if "repo" not in p]
+
+import numpy as np  # noqa: E402
+from ntracer import (NTracer, Material, ImageFormat, Channel,  # noqa: E402
+                     BlockingRenderer)
+
+
+def rgb_format(w, h):
+    return ImageFormat(w, h, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                              Channel(8, 0, 0, 1)])
+
+
+def rotating(nt, scene, camera, cam_distance, frames, fmt, buf, renderer):
+    incr = 2 * math.pi / frames
+    h = 1 / math.sqrt(nt.dimension - 1)
+    total = 0.0
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        renderer.render(buf, fmt, scene)
+        total += time.perf_counter() - t0
+        a2 = camera.axes[0] * h + camera.axes[1] * h
+        for i in range(nt.dimension - 3):
+            a2 = a2 + camera.axes[i + 3] * h
+        camera.transform(nt.Matrix.rotation(camera.axes[2], a2, incr))
+        camera.normalize()
+        camera.origin = camera.axes[2] * cam_distance
+        scene.set_camera(camera)
+    return total / frames
+
+
+def box_config(d, w, h, frames):
+    nt = NTracer(d)
+    scene = nt.BoxScene()
+    camera = nt.Camera()
+    cam_distance = -math.sqrt(d) * 1.2
+    camera.translate(nt.Vector.axis(2, cam_distance))
+    scene.set_camera(camera)
+    fmt = rgb_format(w, h)
+    buf = bytearray(fmt.pitch * fmt.height)
+    r = BlockingRenderer()
+    r.render(buf, fmt, scene)  # warmup / compile
+    return rotating(nt, scene, camera, cam_distance, frames, fmt, buf, r)
+
+
+def report(name, w, h, sec):
+    print(json.dumps({
+        "config": name,
+        "ms_per_frame": round(sec * 1000, 2),
+        "mrays_per_s": round(w * h / sec / 1e6, 3),
+    }), flush=True)
+
+
+F = args.frames
+
+# 1: 3-D cube, 320x240
+report("3D cube 320x240", 320, 240, box_config(3, 320, 240, F))
+
+# 2: 4-D tesseract, 640x480 rotating animation
+report("4D tesseract 640x480", 640, 480, box_config(4, 640, 480, F))
+
+# 3: 120-cell {5,3,3} @ 1024^2 (geometry differs per implementation's
+#    own builder — both are ~3240 simplices)
+if args.reference:
+    t0 = time.perf_counter()
+    os.system(
+        f"cd /tmp/refbuild && SDL_VIDEODRIVER=dummy "
+        f"PYTHONPATH={':'.join(sys.path)} python scripts/polytope.py 5 3 3 "
+        f"--benchmark -s 1024x1024 -f {F}")
+else:
+    from polytope import polytope_vertices, hull_prototypes
+    nt = NTracer(4)
+    protos = hull_prototypes(nt, polytope_vertices([5, 3, 3]),
+                             Material((1, 0.5, 0.5)))
+    scene = nt.build_composite_scene(protos)
+    camera = nt.Camera()
+    camera.translate(nt.Vector.axis(2, -4.0))
+    scene.set_camera(camera)
+    fmt = rgb_format(1024, 1024)
+    buf = bytearray(fmt.pitch * fmt.height)
+    r = BlockingRenderer()
+    r.render(buf, fmt, scene)
+    report("120-cell 4D 1024x1024", 1024, 1024,
+           rotating(nt, scene, camera, -4.0, F, fmt, buf, r))
+
+# 4: 6-D hypercube slice @ 1024^2
+report("6D hypercube 1024x1024", 1024, 1024, box_config(6, 1024, 1024, F))
+
+# 5: 10-D hypercube @ 1920x1080 (generic var-dimension path)
+report("10D hypercube 1920x1080", 1920, 1080, box_config(10, 1920, 1080,
+                                                         max(F // 2, 2)))
