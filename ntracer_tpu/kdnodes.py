@@ -68,9 +68,22 @@ class KDNode:
 
 
 class KDBranch(KDNode):
-    """Inner node: axis/split/left/right (tracer.hpp:813-830)."""
+    """Inner node: axis/split/left/right (tracer.hpp:813-830).
+
+    Copy/pickle clone the subtree (kd_node::clone tracer.hpp:799,
+    ntracer_body.hpp:1594-1623) since children are single-parent."""
 
     __slots__ = ("axis", "split", "left", "right")
+
+    def __copy__(self):
+        return KDBranch(self.axis, self.split,
+                        _clone(self.left), _clone(self.right))
+
+    __deepcopy__ = lambda self, memo: self.__copy__()
+
+    def __reduce__(self):
+        return (KDBranch, (self.axis, self.split, _clone(self.left),
+                           _clone(self.right)))
 
     def __init__(self, axis, split, left=None, right=None):
         super().__init__()
@@ -90,6 +103,10 @@ class KDBranch(KDNode):
             if c is not None:
                 return c.dimension
         return None
+
+
+def _clone(node):
+    return None if node is None else node.__copy__()
 
 
 def _is_batch(p):
@@ -115,6 +132,14 @@ class KDLeaf(KDNode):
         rest = [p for p in prims if not _is_batch(p)]
         self._items = tuple(batched + rest)
         self.batches = len(batched)
+
+    def __copy__(self):
+        return KDLeaf(self._items)
+
+    __deepcopy__ = lambda self, memo: self.__copy__()
+
+    def __reduce__(self):
+        return (KDLeaf, (list(self._items),))
 
     @property
     def dimension(self):

@@ -85,15 +85,22 @@ def mirror_normals(symbol):
     return normals
 
 
-def polytope_vertices(symbol):
-    """Vertices as the orbit of the initial vertex under the mirror group."""
-    normals = mirror_normals(symbol)
-    n = normals.shape[0]
-    # initial vertex: on mirrors 1..n-1, off mirror 0
+def _initial_vertex(normals):
+    """Point on all mirrors except mirror 0, normalized."""
     a = normals[1:]
     _, _, vt = np.linalg.svd(a)
     v0 = vt[-1]
-    v0 /= np.linalg.norm(v0)
+    return v0 / np.linalg.norm(v0)
+
+
+def _reflect(v, m):
+    return v - 2.0 * (v @ m) * m
+
+
+def polytope_vertices(symbol):
+    """Vertices as the orbit of the initial vertex under the mirror group."""
+    normals = mirror_normals(symbol)
+    v0 = _initial_vertex(normals)
 
     verts = [v0]
     seen = {tuple(np.round(v0, 6))}
@@ -101,13 +108,187 @@ def polytope_vertices(symbol):
     while queue:
         v = queue.pop()
         for m in normals:
-            r = v - 2.0 * (v @ m) * m
+            r = _reflect(v, m)
             key = tuple(np.round(r, 6))
             if key not in seen:
                 seen.add(key)
                 verts.append(r)
                 queue.append(r)
     return np.asarray(verts)
+
+
+# ---------------------------------------------------------------------------
+# Star polytopes (fractional Schläfli components).  The regular star
+# polytopes only involve the pentagram {5/2}; faces are either convex
+# polygons or pentagrams.  Faces are enumerated as the orbit of the initial
+# face cycle under the reflection group; a pentagram face is triangulated
+# by fanning its 10-point outline (5 vertices + 5 edge intersections) from
+# the face center, and 4-D cells cone their faces from the cell centroid.
+# ---------------------------------------------------------------------------
+
+def _face_cycle(normals):
+    """Ordered vertex cycle of the initial face: repeated rotation by the
+    m0*m1 double reflection walks the polygon (star order for p/q)."""
+    v0 = _initial_vertex(normals)
+    cycle = [v0]
+    cur = v0
+    for _ in range(64):
+        cur = _reflect(_reflect(cur, normals[0]), normals[1])
+        if np.linalg.norm(cur - v0) < 1e-6:
+            break
+        cycle.append(cur)
+    return np.asarray(cycle)
+
+
+def _canon_cycle(cycle):
+    """Canonical key of a face cycle (rotation/reflection invariant)."""
+    pts = sorted(tuple(np.round(p, 5)) for p in cycle)
+    return tuple(pts)
+
+
+def _orbit_of_faces(cycle, normals):
+    faces = {_canon_cycle(cycle): cycle}
+    queue = [cycle]
+    while queue:
+        f = queue.pop()
+        for m in normals:
+            g = np.asarray([_reflect(v, m) for v in f])
+            key = _canon_cycle(g)
+            if key not in faces:
+                faces[key] = g
+                queue.append(g)
+    return list(faces.values())
+
+
+def _seg_intersect_2d(a0, a1, b0, b1):
+    """Intersection of segments in 2-D face coordinates, or None."""
+    r = a1 - a0
+    s = b1 - b0
+    den = r[0] * s[1] - r[1] * s[0]
+    if abs(den) < 1e-12:
+        return None
+    q = b0 - a0
+    t = (q[0] * s[1] - q[1] * s[0]) / den
+    u = (q[0] * r[1] - q[1] * r[0]) / den
+    if 1e-9 < t < 1 - 1e-9 and 1e-9 < u < 1 - 1e-9:
+        return a0 + t * r
+    return None
+
+
+def _tess_face(cycle):
+    """Triangulate a (possibly star) face into triangles (in d-space)."""
+    p = len(cycle)
+    center = cycle.mean(axis=0)
+    # 2-D coordinates in the face plane
+    b1 = cycle[0] - center
+    b1 = b1 / np.linalg.norm(b1)
+    b2 = None
+    for v in cycle[1:]:
+        w = v - center
+        w = w - (w @ b1) * b1
+        if np.linalg.norm(w) > 1e-9:
+            b2 = w / np.linalg.norm(w)
+            break
+    uv = np.asarray([[(v - center) @ b1, (v - center) @ b2] for v in cycle])
+
+    # collect the outline: vertices + interior edge-edge intersections
+    pts2 = [uv[i] for i in range(p)]
+    for i in range(p):
+        for j in range(i + 1, p):
+            x = _seg_intersect_2d(uv[i], uv[(i + 1) % p],
+                                  uv[j], uv[(j + 1) % p])
+            if x is not None:
+                pts2.append(x)
+    # dedup + angular sort around the center (the star region is
+    # star-shaped wrt its center)
+    uniq = []
+    for q_ in pts2:
+        if not any(np.linalg.norm(q_ - u) < 1e-7 for u in uniq):
+            uniq.append(q_)
+    uniq.sort(key=lambda q_: math.atan2(q_[1], q_[0]))
+
+    tris = []
+    m = len(uniq)
+    for k in range(m):
+        a = uniq[k]
+        b = uniq[(k + 1) % m]
+        pa = center + a[0] * b1 + a[1] * b2
+        pb = center + b[0] * b1 + b[1] * b2
+        tris.append(np.stack([center, pa, pb]))
+    return tris
+
+
+def star_prototypes(nt, symbol, material):
+    """Boundary (d-1)-simplices of a star polytope.
+
+    d=3: triangulated faces.  d=4: cells coned from their centroids over
+    the triangulated faces (each face triangle + cell centroid = one
+    tetrahedron)."""
+    n = len(symbol) + 1
+    normals = mirror_normals(symbol)
+    cycle = _face_cycle(normals)
+    faces = _orbit_of_faces(cycle, normals)
+
+    if n == 3:
+        tris = [t for f in faces for t in _tess_face(f)]
+    elif n == 4:
+        # initial cell = orbit of the initial face under <m0,m1,m2>
+        cell_faces = {_canon_cycle(cycle): cycle}
+        queue = [cycle]
+        while queue:
+            f = queue.pop()
+            for m in normals[:3]:
+                g = np.asarray([_reflect(v, m) for v in f])
+                key = _canon_cycle(g)
+                if key not in cell_faces:
+                    cell_faces[key] = g
+                    queue.append(g)
+        cell0 = list(cell_faces.values())
+
+        # cells = orbit of the cell (as a set of face keys) under the group
+        def cell_key(cfaces):
+            return tuple(sorted(_canon_cycle(f) for f in cfaces))
+
+        cells = {cell_key(cell0): cell0}
+        queue = [cell0]
+        while queue:
+            cf = queue.pop()
+            for m in normals:
+                g = [np.asarray([_reflect(v, m) for v in f]) for f in cf]
+                key = cell_key(g)
+                if key not in cells:
+                    cells[key] = g
+                    queue.append(g)
+
+        tris = []
+        for cf in cells.values():
+            centroid = np.mean([f.mean(axis=0) for f in cf], axis=0)
+            for f in cf:
+                for t in _tess_face(f):
+                    tris.append(np.concatenate([t, centroid[None]], axis=0))
+    else:
+        raise NotImplementedError(
+            "star polytopes are supported for 3 and 4 dimensions")
+
+    d = nt.dimension
+    protos = []
+    dropped = 0
+    for t in tris:
+        pts = t
+        edges = pts[1:] - pts[0]
+        gram = edges @ edges.T
+        vol2 = np.linalg.det(gram)
+        if not np.isfinite(vol2) or abs(vol2) < 1e-18:
+            dropped += 1
+            continue
+        if pts.shape[1] < d:
+            pts = np.concatenate(
+                [pts, np.zeros((pts.shape[0], d - pts.shape[1]))], axis=1)
+        protos.append(nt.TrianglePrototype(
+            [nt.Vector(p) for p in pts], material))
+    if dropped:
+        print(f"(dropped {dropped} degenerate simplices)")
+    return protos
 
 
 def hull_prototypes(nt, verts, material):
@@ -191,16 +372,17 @@ def main():
         scene = nt.BoxScene()
         circumradius_sq = float(nt.dimension)
     else:
-        if any(c.denominator != 1 for c in args.schlafli):
-            print("error: star polytopes are not supported yet",
-                  file=sys.stderr)
-            sys.exit(1)
         print("building geometry...")
         t0 = timer()
-        verts = polytope_vertices([int(c) for c in args.schlafli])
-        protos = hull_prototypes(nt, verts, material)
+        if any(c.denominator != 1 for c in args.schlafli):
+            protos = star_prototypes(nt, args.schlafli, material)
+            nverts = "-"
+        else:
+            verts = polytope_vertices([int(c) for c in args.schlafli])
+            protos = hull_prototypes(nt, verts, material)
+            nverts = len(verts)
         print("done in {0} seconds ({1} vertices, {2} simplices)".format(
-            timer() - t0, len(verts), len(protos)))
+            timer() - t0, nverts, len(protos)))
 
         circumradius_sq = 1.0
         cam_distance = -math.sqrt(circumradius_sq) * args.cam_dist

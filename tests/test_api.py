@@ -358,3 +358,38 @@ def test_solid_pickle():
     assert s2.type == s.type
     assert s2.position == s.position
     assert list(s2.orientation.values) == list(s.orientation.values)
+
+
+def test_kdnode_copy_pickle():
+    import copy
+    nt = get_nt(3)
+    mat = Material((1, 1, 1))
+    t = nt.Triangle.from_points(
+        [nt.Vector(1, 0, 0), nt.Vector(0, 1, 0), nt.Vector(0, 0, 1)], mat)
+    leaf = nt.KDLeaf([t])
+    root = nt.KDBranch(0, 0.5, None, leaf)
+    c = copy.copy(root)
+    assert c.axis == root.axis and c.split == root.split
+    assert list(c.right) == list(leaf)
+    d = copy.deepcopy(root)
+    assert d.right is not leaf
+    r2 = pickle.loads(pickle.dumps(root))
+    assert r2.axis == 0 and r2.left is None and len(r2.right) == 1
+    # a copied child has its own parent slot: reusing it must still fail
+    with pytest.raises(ValueError):
+        nt.KDBranch(1, 0.0, leaf, None)
+
+
+def test_star_polytope_construction():
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "scripts"))
+    from fractions import Fraction
+    from polytope import star_prototypes, polytope_vertices
+    nt = get_nt(3)
+    protos = star_prototypes(nt, [Fraction(5, 2), Fraction(5)],
+                             Material((1, 0.5, 0.5)))
+    # small stellated dodecahedron: 12 pentagram faces x 10 fan triangles
+    assert len(protos) == 120
+    assert len(polytope_vertices([5, 3])) == 20
