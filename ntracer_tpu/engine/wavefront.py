@@ -792,6 +792,11 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
                                    jnp.int32(s0 * TILE), fmt.width, nt_, key)
                  for s0, nt_ in slab_tiles]
 
+    import os
+    import time
+    profile = os.environ.get("NTRACER_PROFILE")
+    t_dispatch = time.perf_counter()
+
     bpp = fmt.bytes_per_pixel
     contiguous = fmt.pitch == fmt.width * bpp
     for (s0, _nt), dev in zip(slab_tiles, slabs):
@@ -813,6 +818,11 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
                 view[dst:dst + n * bpp] = flat[off:off + n * bpp].tobytes()
                 off += n * bpp
                 p += n
+    if profile:
+        # instrumentation analogue of the reference's PROFILE_CODE timers
+        print(f"[ntracer_tpu] frame {fmt.width}x{fmt.height}: "
+              f"{len(slab_tiles)} slab(s), compute+pull "
+              f"{(time.perf_counter() - t_dispatch) * 1000:.1f} ms")
     return True
 
 

@@ -374,6 +374,27 @@ class CompositeScene(Scene):
         from .engine import wavefront
         return wavefront.render_strip_composite(self, fmt, y0, nrows)
 
+    def __copy__(self):
+        """Clone the scene: the k-d tree is cloned too (single-parent
+        ownership), configuration and lights copied
+        (ntracer_body.hpp:1706-1730)."""
+        from .kdnodes import _clone
+        c = CompositeScene(self._boundary.__copy__(), _clone(self._root))
+        c.shadows = self.shadows
+        c.camera_light = self.camera_light
+        c.fov = self.fov
+        c.max_reflect_depth = self.max_reflect_depth
+        c.bg_gradient_axis = self.bg_gradient_axis
+        c.ambient, c.bg1, c.bg2, c.bg3 = (self.ambient, self.bg1, self.bg2,
+                                          self.bg3)
+        c._cam = self._cam.__copy__()
+        c.point_lights = list(self.point_lights)
+        c.global_lights = list(self.global_lights)
+        return c
+
+    def __deepcopy__(self, memo):
+        return self.__copy__()
+
 
 def _target_material(prim, index):
     """intersection_target::mat (tracer.hpp:744-763)."""
