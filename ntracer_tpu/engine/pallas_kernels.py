@@ -71,17 +71,28 @@ def prepare_tri_arrays(tri_p1, tri_fn, tri_en, tri_dc, tri_lo, tri_hi, d):
             k_lo[k, 0] = tri_lo[sl][real].min(axis=0)
             k_hi[k, 0] = tri_hi[sl][real].max(axis=0)
             k_any[k, 0, 0] = 1.0
-    return dict(gt=gt, ci=ci, k_lo=k_lo, k_hi=k_hi, k_any=k_any)
+    if k_any.any():
+        b_lo = k_lo[k_any[:, 0, 0] > 0, 0].min(axis=0)
+        b_hi = k_hi[k_any[:, 0, 0] > 0, 0].max(axis=0)
+    else:
+        b_lo = np.zeros(d, np.float32)
+        b_hi = np.zeros(d, np.float32)
+    return dict(gt=gt, ci=ci, k_lo=k_lo, k_hi=k_hi, k_any=k_any,
+                b_lo=b_lo, b_hi=b_hi)
 
 
-def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, gt_ref, ci_ref,
-                    lo_ref, hi_ref, any_ref, out_t_ref, out_id_ref,
-                    best_t, best_id):
+def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, init_t_ref,
+                    gt_ref, ci_ref, lo_ref, hi_ref, any_ref, out_t_ref,
+                    out_id_ref, best_t, best_id):
     j = pl.program_id(1)
+    jc = j
 
     @pl.when(j == 0)
     def _():
-        best_t[:] = jnp.full_like(best_t, INF)
+        # nothing can hit beyond the scene AABB exit; rays missing the
+        # scene start at 0, so with front-to-back chunk order whole blocks
+        # skip once every ray's cutoff is passed
+        best_t[:] = init_t_ref[:]
         best_id[:] = jnp.full_like(best_id, -1)
 
     o_b = o_ref[:]          # (RAY_BLOCK, d)
@@ -90,16 +101,14 @@ def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, gt_ref, ci_ref,
     # conservative slab test of this tri block's AABB against the ray block
     lo = lo_ref[0, 0, :]    # (d,)
     hi = hi_ref[0, 0, :]
-    tn = jnp.full((RAY_BLOCK, 1), -INF, f32)
-    tf = jnp.full((RAY_BLOCK, 1), INF, f32)
+    tn = jnp.full((RAY_BLOCK, 1), -BIG, f32)
+    tf = jnp.full((RAY_BLOCK, 1), BIG, f32)
     for c in range(d):
         dc_ = d_b[:, c:c + 1]
         oc = o_b[:, c:c + 1]
-        inv = jnp.where(dc_ != 0, 1.0 / dc_, jnp.where(dc_ >= 0, INF, -INF))
-        t0 = (lo[c] - oc) * inv
-        t1 = (hi[c] - oc) * inv
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        t0, t1 = _safe_slab(oc, dc_, lo[c], hi[c])
+        tn = jnp.maximum(tn, t0)
+        tf = jnp.minimum(tf, t1)
     entry = jnp.maximum(tn, 0.0)
     box_hit = (tf >= entry) & (tf >= 0)
     entry = jnp.where(box_hit, entry, INF)
@@ -131,14 +140,14 @@ def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, gt_ref, ci_ref,
             tot += a
         valid &= tot <= 1 + ROUNDING_FUZZ
 
-        ids = (j * TRI_BLOCK
+        ids = (jc * TRI_BLOCK
                + jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, TRI_BLOCK), 1))
         valid &= ids != skip_ref[:]
 
         tm = jnp.where(valid, t, INF)
         ct = jnp.min(tm, axis=1, keepdims=True)           # (RAY_BLOCK, 1)
         carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
-        cid = j * TRI_BLOCK + carg
+        cid = jc * TRI_BLOCK + carg
         upd = ct < best_t[:]
         best_t[:] = jnp.where(upd, ct, best_t[:])
         best_id[:] = jnp.where(upd, cid, best_id[:])
@@ -147,6 +156,39 @@ def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, gt_ref, ci_ref,
     def _():
         out_t_ref[:] = best_t[:]
         out_id_ref[:] = best_id[:]
+
+
+
+BIG = np.float32(3e37)
+
+
+def _safe_slab(o, dirs, lo, hi):
+    """NaN-safe per-axis slab intervals; parallel axes map to
+    (-BIG, BIG) when inside the slab and (BIG, -BIG) when outside."""
+    inv = jnp.where(dirs != 0, 1.0 / jnp.where(dirs != 0, dirs, 1.0), 0.0)
+    a = (lo - o) * inv
+    b = (hi - o) * inv
+    par = dirs == 0
+    inside = (o >= lo) & (o <= hi)
+    t0 = jnp.where(par, jnp.where(inside, -BIG, BIG), jnp.minimum(a, b))
+    t1 = jnp.where(par, jnp.where(inside, BIG, -BIG), jnp.maximum(a, b))
+    return t0, t1
+
+
+def _scene_exit(o, dirs, b_lo, b_hi):
+    """Exit distance of each ray from the pool AABB (0 when missed):
+    an upper bound on any triangle hit, used as the nearest-hit cutoff."""
+    t0, t1 = _safe_slab(o, dirs, b_lo[None, :], b_hi[None, :])
+    tn = jnp.max(t0, axis=-1)
+    tf = jnp.min(t1, axis=-1)
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tf >= 0)
+    return jnp.where(hit, tf * (1 + 16 * ROUNDING_FUZZ), 0.0)
+
+
+# Note: a front-to-back chunk permutation via PrefetchScalarGridSpec was
+# measured and reverted — the data-dependent block DMA defeated Mosaic's
+# input double-buffering and cost ~25% end-to-end.  The scene-exit cutoff
+# (init_t) keeps the main benefit: background ray blocks skip every chunk.
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -158,15 +200,18 @@ def nearest_hit(kern, o, dirs, skip, d):
     ni = R // RAY_BLOCK
     nj = T // TRI_BLOCK
 
-    grid = (ni, nj)
+    init_t = _scene_exit(o, dirs, kern["b_lo"], kern["b_hi"])
+
     out_t, out_id = pl.pallas_call(
         partial(_nearest_kernel, d, nj),
-        grid=grid,
+        grid=(ni, nj),
         interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((RAY_BLOCK, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_BLOCK, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_BLOCK, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -195,14 +240,16 @@ def nearest_hit(kern, o, dirs, skip, d):
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
         ],
-    )(o, dirs, skip[:, None], kern["gt"], kern["ci"], kern["k_lo"],
-      kern["k_hi"], kern["k_any"])
+    )(o, dirs, skip[:, None], init_t[:, None], kern["gt"], kern["ci"],
+      kern["k_lo"], kern["k_hi"], kern["k_any"])
     return out_t[:, 0], out_id[:, 0]
 
 
-def _occlusion_kernel(d, nj, o_ref, dir_ref, skip_ref, ldist_ref, gt_ref,
-                      ci_ref, lo_ref, hi_ref, any_ref, out_ref, blocked):
+def _occlusion_kernel(d, nj, o_ref, dir_ref, skip_ref, ldist_ref,
+                      gt_ref, ci_ref, lo_ref, hi_ref, any_ref, out_ref,
+                      blocked):
     j = pl.program_id(1)
+    jc = j
 
     @pl.when(j == 0)
     def _():
@@ -214,16 +261,14 @@ def _occlusion_kernel(d, nj, o_ref, dir_ref, skip_ref, ldist_ref, gt_ref,
 
     lo = lo_ref[0, 0, :]
     hi = hi_ref[0, 0, :]
-    tn = jnp.full((RAY_BLOCK, 1), -INF, f32)
-    tf = jnp.full((RAY_BLOCK, 1), INF, f32)
+    tn = jnp.full((RAY_BLOCK, 1), -BIG, f32)
+    tf = jnp.full((RAY_BLOCK, 1), BIG, f32)
     for c in range(d):
         dc_ = d_b[:, c:c + 1]
         oc = o_b[:, c:c + 1]
-        inv = jnp.where(dc_ != 0, 1.0 / dc_, jnp.where(dc_ >= 0, INF, -INF))
-        t0 = (lo[c] - oc) * inv
-        t1 = (hi[c] - oc) * inv
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        t0, t1 = _safe_slab(oc, dc_, lo[c], hi[c])
+        tn = jnp.maximum(tn, t0)
+        tf = jnp.minimum(tf, t1)
     entry = jnp.maximum(tn, 0.0)
     box_hit = (tf >= entry) & (tf >= 0)
     entry = jnp.where(box_hit, entry, INF)
@@ -253,7 +298,7 @@ def _occlusion_kernel(d, nj, o_ref, dir_ref, skip_ref, ldist_ref, gt_ref,
             tot += a
         valid &= tot <= 1 + ROUNDING_FUZZ
 
-        ids = (j * TRI_BLOCK
+        ids = (jc * TRI_BLOCK
                + jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, TRI_BLOCK), 1))
         valid &= ids != skip_ref[:]
 

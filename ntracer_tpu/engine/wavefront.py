@@ -146,12 +146,18 @@ def _chunk_arrays(arrs, cfg):
 
 
 def _slab_entry(o, dirs, lo, hi):
-    """Conservative ray/AABB entry distance: (R,).  inf when missed."""
-    inv = jnp.where(dirs != 0, 1.0 / dirs, jnp.where(dirs >= 0, INF, -INF))
-    t0 = (lo[None, :] - o) * inv
-    t1 = (hi[None, :] - o) * inv
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    """Conservative ray/AABB entry distance: (R,).  inf when missed.
+    NaN-safe for zero direction components (0 * inf on parallel axes)."""
+    big = np.float32(3e37)
+    inv = jnp.where(dirs != 0, 1.0 / jnp.where(dirs != 0, dirs, 1.0), 0.0)
+    a = (lo[None, :] - o) * inv
+    b = (hi[None, :] - o) * inv
+    par = dirs == 0
+    inside = (o >= lo[None, :]) & (o <= hi[None, :])
+    t0 = jnp.where(par, jnp.where(inside, -big, big), jnp.minimum(a, b))
+    t1 = jnp.where(par, jnp.where(inside, big, -big), jnp.maximum(a, b))
+    tn = jnp.max(t0, axis=-1)
+    tf = jnp.min(t1, axis=-1)
     entry = jnp.maximum(tn, 0.0)
     hit = (tf >= entry) & (tf >= 0)
     return jnp.where(hit, entry, INF)
@@ -177,7 +183,8 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
         from . import pallas_kernels as pk
         kern = dict(gt=arrs["kern_gt"], ci=arrs["kern_ci"],
                     k_lo=arrs["kern_klo"], k_hi=arrs["kern_khi"],
-                    k_any=arrs["kern_kany"])
+                    k_any=arrs["kern_kany"], b_lo=arrs["kern_blo"],
+                    b_hi=arrs["kern_bhi"])
         skip_local = skip - arrs["tri_base"]
         kt, kid = pk.nearest_hit(kern, o, dirs, skip_local, d)
         carry = dict(
@@ -381,7 +388,8 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip):
         from . import pallas_kernels as pk
         kern = dict(gt=arrs["kern_gt"], ci=arrs["kern_ci"],
                     k_lo=arrs["kern_klo"], k_hi=arrs["kern_khi"],
-                    k_any=arrs["kern_kany"])
+                    k_any=arrs["kern_kany"], b_lo=arrs["kern_blo"],
+                    b_hi=arrs["kern_bhi"])
         skip_local = skip - arrs["tri_base"]
         blocked = pk.occluded(kern, o, dirs, ldist, skip_local, d)
         carry = dict(blocked=blocked, filt=jnp.ones((R,), f32))
@@ -929,6 +937,8 @@ def get_device_scene(scene):
             arrs["kern_klo"] = kern["k_lo"]
             arrs["kern_khi"] = kern["k_hi"]
             arrs["kern_kany"] = kern["k_any"]
+            arrs["kern_blo"] = kern["b_lo"]
+            arrs["kern_bhi"] = kern["b_hi"]
         device = {k: jnp.asarray(v) for k, v in arrs.items()
                   if k not in ("tri_lo", "tri_hi")}
         scene._device_cache = (flat.config, device, flat)
