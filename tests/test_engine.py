@@ -139,3 +139,27 @@ def test_sharded_render_matches_single(shape):
     m = pmesh.make_mesh(*shape)
     sharded = pmesh.render_frame(scene, fmt, m)
     assert np.abs(single - sharded).max() < 1e-5
+
+
+@pytest.mark.parametrize("d", [5, 6, 8])
+def test_engine_matches_oracle_higher_dims(d):
+    nt = NTracer(d)
+    scene = _random_scene(nt, n=12, seed=d)
+    _compare_sampled(scene, w=16, h=16, samples=15)
+
+
+def test_engine_matches_oracle_10d_box():
+    from ntracer_tpu.engine import wavefront
+    nt = NTracer(10)  # generic var-dimension path
+    scene = nt.BoxScene()
+    cam = scene.get_camera()
+    cam.translate(nt.Vector.axis(2, -3))
+    cam.transform(nt.Matrix.rotation(nt.Vector.axis(2), nt.Vector.axis(5), 0.3))
+    cam.normalize()
+    scene.set_camera(cam)
+    w = h = 16
+    scene._set_view_size(w, h)
+    eng = wavefront.render_strip_box(scene, _Fmt(w, h), 0, h)
+    for (x, y) in [(0, 0), (8, 8), (15, 3)]:
+        oc = scene._pixel_color(x, y)
+        assert np.abs(oc - eng[y, x]).max() < 1e-5
