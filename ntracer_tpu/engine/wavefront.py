@@ -267,6 +267,10 @@ def _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R):
         carry["pid"] = jnp.where(so_valid, sid, carry["pid"])
         if K:
             str_valid = svalid & ~s_opaque
+            if cfg.prim_axis is not None:
+                # solids are replicated across pool shards; insert once so
+                # the cross-shard K-merge doesn't duplicate them
+                str_valid &= jax.lax.axis_index(cfg.prim_axis) == 0
             tins = jnp.where(str_valid, st, INF)
             allt = jnp.concatenate([carry["tt"], tins[:, None]], axis=1)
             alli = jnp.concatenate(
@@ -280,21 +284,59 @@ def _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R):
     res = dict(t=carry["t"], pid=carry["pid"], point=point, normal=normal,
                mat=mat)
 
+    if K:
+        # per-slot payload (view-facing normal + material), gathered from
+        # this shard's pool while the ids are still local
+        tid = carry["tid"]
+        local = jnp.clip(tid - arrs["tri_base"], 0, cfg.n_tris - 1)
+        fnk = arrs["tri_fn"][local]                       # (R, K, d)
+        denomk = jnp.sum(fnk * dirs[:, None, :], axis=-1)
+        tnorm = _unit(fnk) * jnp.where(denomk > 0, -1.0, 1.0)[:, :, None]
+        tmat = arrs["tri_mat"][local]
+        for s in range(cfg.n_solids):
+            st, sp, sn = _solid_test(arrs, s, o, dirs, d)
+            sel = tid == (arrs["sol_base"] + s)
+            tnorm = jnp.where(sel[:, :, None], sn[:, None, :], tnorm)
+            tmat = jnp.where(sel, arrs["sol_mat"][s], tmat)
+        res["tt"] = carry["tt"]
+        res["tid"] = tid
+        res["tnorm"] = tnorm
+        res["tmat"] = tmat
+
     if cfg.prim_axis is not None:
         # tensor-parallel pool: every shard found its local winner with full
         # geometry; all_gather the candidates over ICI and take the global
         # argmin per ray (winner-take-all reduction).
-        g = {k: jax.lax.all_gather(v, cfg.prim_axis) for k, v in res.items()}
+        winner_keys = ("t", "pid", "point", "normal", "mat")
+        g = {k: jax.lax.all_gather(res[k], cfg.prim_axis)
+             for k in winner_keys}
         w = jnp.argmin(g["t"], axis=0)                       # (R,)
-        for k, v in g.items():
+        for k in winner_keys:
+            v = g[k]
             idx = w[None, ..., None] if v.ndim == 3 else w[None, ...]
             res[k] = jnp.take_along_axis(v, idx, axis=0)[0]
 
+        if K:
+            # merge the K-buffers (with payload) across shards: sort the
+            # concatenated candidates by distance, keep the nearest K
+            def merge(key, fill_ndim):
+                v = jax.lax.all_gather(res[key], cfg.prim_axis)  # (P, R, K...)
+                perm = (1, 0, 2) if v.ndim == 3 else (1, 0, 2, 3)
+                v = v.transpose(perm)
+                return v.reshape((R, -1) + v.shape[3:])          # (R, P*K...)
+
+            allt = merge("tt", 2)
+            order = jnp.argsort(allt, axis=1)[:, :K]
+            res["tt"] = jnp.take_along_axis(allt, order, axis=1)
+            res["tid"] = jnp.take_along_axis(merge("tid", 2), order, axis=1)
+            res["tmat"] = jnp.take_along_axis(merge("tmat", 2), order, axis=1)
+            res["tnorm"] = jnp.take_along_axis(
+                merge("tnorm", 3), order[:, :, None], axis=1)
+
     res["hit"] = res["pid"] >= 0
     if K:
-        tvalid = (carry["tid"] >= 0) & (carry["tt"] < carry["t"][:, None])
-        res["tt"] = carry["tt"]
-        res["tid"] = jnp.where(tvalid, carry["tid"], -1)
+        tvalid = (res["tid"] >= 0) & (res["tt"] < res["t"][:, None])
+        res["tid"] = jnp.where(tvalid, res["tid"], -1)
     return res
 
 
@@ -648,7 +690,8 @@ def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
         valid = tid >= 0
         safe_id = jnp.where(valid, tid, 0)
         point = o + tk[:, None] * dirs
-        normal, mi = _transparent_normal(arrs, cfg, dirs, safe_id, o)
+        normal = res["tnorm"][:, k]
+        mi = res["tmat"][:, k]
         local, _, _ = shade_local(arrs, cfg, dirs, point, normal, safe_id,
                                   mi, depth, dyn)
         op = arrs["mat_opacity"][mi]
@@ -656,21 +699,6 @@ def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
         color = jnp.where(valid[:, None], new, color)
         trans = jnp.where(valid, trans * (1 - op), trans)
     return color, trans
-
-
-def _transparent_normal(arrs, cfg, dirs, pid, o):
-    local = jnp.clip(pid - arrs["tri_base"], 0, cfg.n_tris - 1)
-    fn = arrs["tri_fn"][local]
-    denom = _dot(fn, dirs)
-    n = _unit(fn) * jnp.where(denom > 0, -1.0, 1.0)[:, None]
-    mi = arrs["tri_mat"][local]
-    if cfg.n_solids:
-        for s in range(cfg.n_solids):
-            st, sp, sn = _solid_test(arrs, s, o, dirs, cfg.d)
-            sel = pid == (arrs["sol_base"] + s)
-            n = jnp.where(sel[:, None], sn, n)
-            mi = jnp.where(sel, arrs["sol_mat"][s], mi)
-    return n, mi
 
 
 # ---------------------------------------------------------------------------

@@ -97,10 +97,6 @@ def build_sharded_renderer(scene, mesh: Mesh, tile: int):
         n_tris=per_shard,
         prim_axis="prim" if n_prim > 1 else None,
     )
-    if n_prim > 1 and cfg.has_transparency:
-        raise NotImplementedError(
-            "transparent scenes are not supported with a sharded pool yet")
-
     specs = {k: (P("prim") if k in _TRI_KEYS else P()) for k in arrs}
 
     def shard_fn(arrs_l, dyn, cam_origin, cam_t, fov_params, xs, ys):

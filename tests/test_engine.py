@@ -163,3 +163,33 @@ def test_engine_matches_oracle_10d_box():
     for (x, y) in [(0, 0), (8, 8), (15, 3)]:
         oc = scene._pixel_color(x, y)
         assert np.abs(oc - eng[y, x]).max() < 1e-5
+
+
+def test_sharded_transparency_matches_single():
+    import jax
+    from ntracer_tpu.parallel import mesh as pmesh
+    from ntracer_tpu.engine import wavefront
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+
+    nt = NTracer(3)
+    glass = Material((1, 0.7, 0.7), opacity=0.4)
+    solid_m = Material((0.3, 0.8, 0.5))
+    rng = np.random.RandomState(21)
+    protos = []
+    for i in range(24):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-1, 1, 3))) for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, glass if i % 2 else solid_m))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector(0, 0, -8))
+    scene.set_camera(cam)
+
+    w = h = 24
+    fmt = _Fmt(w, h)
+    scene._set_view_size(w, h)
+    single = wavefront.render_strip_composite(scene, fmt, 0, h)
+    sharded = pmesh.render_frame(scene, fmt, pmesh.make_mesh(4, 2))
+    assert np.abs(single - sharded).max() < 1e-5
