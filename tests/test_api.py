@@ -393,3 +393,49 @@ def test_star_polytope_construction():
     # small stellated dodecahedron: 12 pentagram faces x 10 fan triangles
     assert len(protos) == 120
     assert len(polytope_vertices([5, 3])) == 20
+
+
+def walk_bounds(n, aabb, nt, f):
+    f(aabb, n)
+    if isinstance(n, nt.KDBranch):
+        walk_bounds(n.left, aabb.left(n.axis, n.split), nt, f)
+        walk_bounds(n.right, aabb.right(n.axis, n.split), nt, f)
+
+
+def test_kd_tree_gen():
+    """Resurrected from the reference's commented-out check_kdtree
+    (test.py:96-108, 408-417): every leaf's AABB must contain exactly the
+    prototypes that exactly-intersect it.
+
+    Containment is checked against the BUILD-TIME prototypes
+    (update_primitives=True keeps them): reconstructing prototypes from the
+    leaf primitives via to_points is ill-conditioned for thin simplices and
+    perturbs the AABBs — plausibly why the reference never enabled this
+    test."""
+    mat = Material((1, 1, 1))
+    nt = get_nt(4)
+    random.seed(42)
+    for j in range(4):
+        protos = []
+        for i in range(nt.BATCH_SIZE * 4):
+            protos.append(nt.TrianglePrototype(rand_triangle_verts(nt), mat))
+        protos_list = list(protos)
+        scene = nt.build_composite_scene(protos_list, max_depth=1,
+                                         split_threshold=1,
+                                         update_primitives=True)
+        by_prim = {id(p.primitive): p for p in protos_list}
+
+        leaf_boundaries = []
+
+        def handler(aabb, node):
+            if node is None:
+                leaf_boundaries.append((aabb, frozenset()))
+            elif isinstance(node, nt.KDLeaf):
+                leaf_boundaries.append((aabb, frozenset(id(p) for p in node)))
+
+        walk_bounds(scene.root, scene.boundary, nt, handler)
+        assert leaf_boundaries
+        for pid_, proto in by_prim.items():
+            for bound, contained in leaf_boundaries:
+                assert bound.intersects(proto) == (pid_ in contained), \
+                    f"leaf containment mismatch (iteration {j})"
