@@ -73,12 +73,40 @@ def main():
         advance()
 
     sec_per_frame = total / FRAMES
-    mrays = (W * H) / sec_per_frame / 1e6
+
+    # --- on-device time (no host link): queue FRAMES dispatches, then pull
+    # a 4-byte reduction of the last output (the device executes in order,
+    # so the pull waits for the whole queue).  block_until_ready does not
+    # reliably synchronize through the tunneled backend.
+    import jax
+    import jax.numpy as jnp
+    from ntracer_tpu.engine import wavefront
+
+    def sync(dev):
+        return float(jnp.sum(dev[:64].astype(jnp.int32)))
+
+    sync(wavefront.frame_device_arrays(scene, fmt))  # compile + warm
+    advance()
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(FRAMES):
+        last = wavefront.frame_device_arrays(scene, fmt)
+        advance()
+    sync(last)
+    dev_sec = (time.perf_counter() - t0) / FRAMES
+
+    # per-stage counters, one frame (instrumentation.hpp analogue)
+    counters = wavefront.frame_stats(scene, W, H)
+
     print(json.dumps({
         "metric": "120-cell 4D @1024^2 primary rays",
-        "value": round(mrays, 3),
+        "value": round((W * H) / sec_per_frame / 1e6, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(REF_SEC_PER_FRAME / sec_per_frame, 3),
+        "e2e_ms_per_frame": round(sec_per_frame * 1000, 2),
+        "on_device_ms_per_frame": round(dev_sec * 1000, 2),
+        "on_device_mrays": round((W * H) / dev_sec / 1e6, 3),
+        "counters": counters,
     }))
 
 

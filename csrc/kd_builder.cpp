@@ -13,10 +13,13 @@
 // Build: g++ -O2 -std=c++17 -shared -fPIC kd_builder.cpp -o _ntr_native.so
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <exception>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -378,30 +381,34 @@ bool overlap_intersects(const Ctx& c, int u, const float* bs, const float* be,
     return unit_intersects_flat(c, u, bs, be, skip);
 }
 
-int32_t make_leaf(Ctx& c, const std::vector<int32_t>& contain,
-                  const std::vector<int32_t>& overlap) {
-    Output& o = c.out;
-    int32_t id = (int32_t)o.axis.size();
-    o.axis.push_back(-1);
-    o.split.push_back(0);
-    o.left.push_back(-1);
-    o.right.push_back(-1);
-    o.leaf_start.push_back((int32_t)o.items.size());
-    o.leaf_count.push_back((int32_t)(contain.size() + overlap.size()));
-    o.items.insert(o.items.end(), contain.begin(), contain.end());
-    o.items.insert(o.items.end(), overlap.begin(), overlap.end());
-    return id;
-}
+// pointer-tree node built (possibly) in parallel, flattened serially
+struct BNode {
+    int32_t axis = -1;          // < 0 => leaf
+    float split = 0;
+    BNode* l = nullptr;
+    BNode* r = nullptr;
+    std::vector<int32_t> items;
+    ~BNode() { delete l; delete r; }
+};
 
-// recursive SAH build (tracer.hpp:2284-2354)
-int32_t create_node(Ctx& c, int depth, std::vector<float>& bs,
-                    std::vector<float>& be,
-                    const std::vector<int32_t>& contain,
-                    const std::vector<int32_t>& overlap) {
+// bounded thread budget shared by the whole build, mirroring the
+// reference's kd_node_worker_pool (tracer.hpp:2131-2271): the left child
+// is built on another thread when a slot is free, the right inline, and
+// exceptions propagate to the caller.
+struct BuildPool {
+    std::atomic<int> avail{0};
+};
+
+// recursive SAH build (tracer.hpp:2284-2354).  Boxes are taken by value:
+// each (possibly concurrent) subtree owns its own copy.
+BNode* create_node(const Ctx& c, BuildPool& pool, int depth,
+                   std::vector<float> bs, std::vector<float> be,
+                   std::vector<int32_t> contain,
+                   std::vector<int32_t> overlap) {
     const int d = c.in.d;
     ++depth;
     int axis = best_axis(bs.data(), be.data(), d);
-    if (contain.empty() && overlap.empty()) return -1;
+    if (contain.empty() && overlap.empty()) return nullptr;
 
     float split = 0;
     bool leaf = depth >= c.in.max_depth ||
@@ -409,7 +416,12 @@ int32_t create_node(Ctx& c, int depth, std::vector<float>& bs,
     if (!leaf)
         leaf = !find_split(c, bs.data(), be.data(), axis, contain, overlap,
                            &split);
-    if (leaf) return make_leaf(c, contain, overlap);
+    if (leaf) {
+        BNode* n = new BNode();
+        n->items = std::move(contain);
+        n->items.insert(n->items.end(), overlap.begin(), overlap.end());
+        return n;
+    }
 
     std::vector<int32_t> lc, rc, lo, ro;
     for (int32_t u : contain) {
@@ -441,23 +453,75 @@ int32_t create_node(Ctx& c, int depth, std::vector<float>& bs,
         } else ro.push_back(u);
     }
 
-    // reserve this node's slot before recursing
-    Output& o = c.out;
+    BNode* n = new BNode();
+    n->axis = axis;
+    n->split = split;
+
+    std::vector<float> lbe = be;
+    lbe[axis] = split;
+    std::vector<float> rbs = bs;
+    rbs[axis] = split;
+
+    if (pool.avail.fetch_sub(1) > 0) {
+        // a worker slot is free: left subtree on its own thread, right
+        // inline (tracer.hpp:2347-2351)
+        std::exception_ptr err;
+        std::thread th([&] {
+            try {
+                n->l = create_node(c, pool, depth, bs, std::move(lbe),
+                                   std::move(lc), std::move(lo));
+            } catch (...) {
+                err = std::current_exception();
+            }
+        });
+        try {
+            n->r = create_node(c, pool, depth, std::move(rbs), be,
+                               std::move(rc), std::move(ro));
+        } catch (...) {
+            th.join();
+            pool.avail.fetch_add(1);
+            delete n;
+            throw;
+        }
+        th.join();
+        pool.avail.fetch_add(1);
+        if (err) {
+            delete n;
+            std::rethrow_exception(err);
+        }
+    } else {
+        pool.avail.fetch_add(1);
+        n->l = create_node(c, pool, depth, std::move(bs), std::move(lbe),
+                           std::move(lc), std::move(lo));
+        n->r = create_node(c, pool, depth, std::move(rbs), std::move(be),
+                           std::move(rc), std::move(ro));
+    }
+    return n;
+}
+
+// deterministic pre-order flatten: identical output arrays regardless of
+// how many threads built the tree
+int32_t flatten_node(Output& o, const BNode* n) {
+    if (!n) return -1;
     int32_t id = (int32_t)o.axis.size();
-    o.axis.push_back(axis);
-    o.split.push_back(split);
+    if (n->axis < 0) {
+        o.axis.push_back(-1);
+        o.split.push_back(0);
+        o.left.push_back(-1);
+        o.right.push_back(-1);
+        o.leaf_start.push_back((int32_t)o.items.size());
+        o.leaf_count.push_back((int32_t)n->items.size());
+        o.items.insert(o.items.end(), n->items.begin(), n->items.end());
+        return id;
+    }
+    o.axis.push_back(n->axis);
+    o.split.push_back(n->split);
     o.left.push_back(-1);
     o.right.push_back(-1);
     o.leaf_start.push_back(0);
     o.leaf_count.push_back(0);
-
-    be[axis] = split;
-    int32_t l = create_node(c, depth, bs, be, lc, lo);
-    be[axis] = orig_e;
-    bs[axis] = split;
-    int32_t r = create_node(c, depth, bs, be, rc, ro);
-    bs[axis] = orig_s;
-
+    int32_t l = flatten_node(o, n->l);
+    int32_t r = flatten_node(o, n->r);
     o.left[id] = l;
     o.right[id] = r;
     return id;
@@ -473,7 +537,8 @@ void* ntr_build(int n, int d, const float* b_start, const float* b_end,
                 const float* axes, const float* fnormal,
                 const float* sol_orient, const float* sol_inv,
                 const float* sol_pos, int max_depth, int split_threshold,
-                float traversal, float intersection, int32_t* root_out) {
+                float traversal, float intersection, int extra_threads,
+                int32_t* root_out) {
     Ctx* c = new Ctx();
     c->in = Input{n, d, b_start, b_end, kind, tri_offset, tri_count, pts,
                   axes, fnormal, sol_orient, sol_inv, sol_pos, max_depth,
@@ -490,7 +555,24 @@ void* ntr_build(int n, int d, const float* b_start, const float* b_end,
 
     std::vector<int32_t> contain(n);
     for (int u = 0; u < n; ++u) contain[u] = u;
-    *root_out = create_node(*c, -1, bs, be, contain, {});
+
+    // extra_threads < 0 => hardware threads - 1 (ntracer_body.hpp:3258-3270)
+    BuildPool pool;
+    pool.avail.store(extra_threads < 0
+        ? std::max(0, (int)std::thread::hardware_concurrency() - 1)
+        : extra_threads);
+
+    BNode* root = nullptr;
+    try {
+        root = create_node(*c, pool, -1, std::move(bs), std::move(be),
+                           std::move(contain), {});
+    } catch (...) {
+        delete c;
+        *root_out = -1;
+        return nullptr;
+    }
+    *root_out = flatten_node(c->out, root);
+    delete root;
     return c;
 }
 

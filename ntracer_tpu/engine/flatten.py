@@ -165,6 +165,56 @@ def flatten_composite(scene, chunk: int = 512,
         tri_lo = np.zeros((0, d), dtype=f32)
         tri_hi = np.zeros((0, d), dtype=f32)
 
+    # Culling boxes: the union of the k-d CELLS whose leaves hold the
+    # primitive.  The reference traversal tests a leaf's primitives
+    # whenever the ray pierces the leaf's cell and accepts hits at ANY
+    # distance (kd_leaf::intersects clips only by the running nearest, not
+    # the cell, tracer.hpp:858-913) — so a degenerate sliver's
+    # ROUNDING_FUZZ-wide plane test can produce "phantom" hits far outside
+    # its own AABB anywhere inside a containing cell (measured on the
+    # 120-cell).  Culling by anything tighter (the triangle AABB, even the
+    # batch prototype box) erases hits the oracle finds; the cell union is
+    # the exact conservative region.
+    cell_lo = {}
+    cell_hi = {}
+
+    def _cells(node, lo, hi):
+        if node is None:
+            return
+        if isinstance(node, KDLeaf):
+            for item in node:
+                k = id(item)
+                if k in cell_lo:
+                    np.minimum(cell_lo[k], lo, out=cell_lo[k])
+                    np.maximum(cell_hi[k], hi, out=cell_hi[k])
+                else:
+                    cell_lo[k] = lo.copy()
+                    cell_hi[k] = hi.copy()
+            return
+        l_hi = hi.copy()
+        l_hi[node.axis] = min(hi[node.axis], node.split)
+        r_lo = lo.copy()
+        r_lo[node.axis] = max(lo[node.axis], node.split)
+        _cells(node.left, lo, l_hi)
+        _cells(node.right, r_lo, hi)
+
+    _cells(scene._root, np.asarray(scene._boundary._start, f32).copy(),
+           np.asarray(scene._boundary._end, f32).copy())
+
+    # A margin-based inflation of the triangle box is NOT sufficient:
+    # degenerate simplices have null directions (the edge-normal system is
+    # rank-deficient), so their plane test accepts an unbounded prism —
+    # measured as whole missing surface patches on the 120-cell.  The cell
+    # union is the exact conservative region and is what the reference's
+    # own traversal reaches.
+    cull_lo = tri_lo.copy()
+    cull_hi = tri_hi.copy()
+    for pid, (obj, lane) in enumerate(tri_objects):
+        k = id(obj)
+        if k in cell_lo:
+            cull_lo[pid] = cell_lo[k]
+            cull_hi[pid] = cell_hi[k]
+
     arrays = {
         "tri_p1": _pad_rows(p1a, t_pad),
         "tri_fn": _pad_rows(fna, t_pad),
@@ -174,6 +224,8 @@ def flatten_composite(scene, chunk: int = 512,
                              t_pad),
         "tri_lo": _pad_rows(tri_lo, t_pad),
         "tri_hi": _pad_rows(tri_hi, t_pad),
+        "cull_lo": _pad_rows(cull_lo, t_pad),
+        "cull_hi": _pad_rows(cull_hi, t_pad),
         "bound_start": scene._boundary._start.astype(f32),
         "bound_end": scene._boundary._end.astype(f32),
     }
@@ -247,3 +299,78 @@ def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
         return a
     pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
     return np.pad(a, pad)
+
+
+def kd_treelets(scene, flat: FlatScene, ck: int):
+    """Cut the k-d tree into treelets of <= ``ck`` triangle slots, each with
+    its DISJOINT cell box (the node's region of space, as carved by ancestor
+    splits from the scene boundary).
+
+    This is the device analogue of the reference's kd_node_intersection
+    traversal (tracer.hpp:1179-1243): treelet cells partition space, so a
+    ray only needs the treelets its line pierces, and front-to-back visit
+    order allows per-ray early termination — unlike content-AABB chunks,
+    which overlap heavily and prune almost nothing.  A primitive spanning
+    several cells appears in each (exactly like k-d leaves, which share
+    primitives across leaves — the kernel's skip/ids use dedup'd pool ids
+    so duplicates behave as one primitive).
+
+    Returns a list of (cell_lo (d,), cell_hi (d,), [pool ids]) with each
+    id list <= ck.
+    """
+    d = scene.dimension
+    # object identity -> dedup'd pool triangle ids (batches span BATCH ids)
+    by_obj = {}
+    for pid, (obj, _lane) in enumerate(flat.prim_objects):
+        if isinstance(obj, (Triangle, TriangleBatch)):
+            by_obj.setdefault(id(obj), []).append(pid)
+
+    def leaf_ids(leaf):
+        ids = []
+        seen = set()
+        for item in leaf:
+            if isinstance(item, (Triangle, TriangleBatch)) \
+                    and id(item) not in seen:
+                seen.add(id(item))
+                ids.extend(by_obj.get(id(item), ()))
+        return ids
+
+    def subtree_ids(node):
+        if node is None:
+            return []
+        if isinstance(node, KDLeaf):
+            return leaf_ids(node)
+        seen = set()
+        out = []
+        for part in (subtree_ids(node.left), subtree_ids(node.right)):
+            for pid in part:
+                if pid not in seen:
+                    seen.add(pid)
+                    out.append(pid)
+        return out
+
+    treelets = []
+
+    def walk(node, lo, hi):
+        if node is None:
+            return
+        ids = subtree_ids(node)
+        if not ids:
+            return
+        if len(ids) <= ck or isinstance(node, KDLeaf):
+            for s in range(0, len(ids), ck):
+                treelets.append((lo.copy(), hi.copy(), ids[s:s + ck]))
+            return
+        axis, split = node.axis, np.float32(node.split)
+        l_hi = hi.copy()
+        l_hi[axis] = min(hi[axis], split)
+        r_lo = lo.copy()
+        r_lo[axis] = max(lo[axis], split)
+        walk(node.left, lo, l_hi)
+        walk(node.right, r_lo, hi)
+
+    lo = np.asarray(scene._boundary._start, np.float32).copy()
+    hi = np.asarray(scene._boundary._end, np.float32).copy()
+    walk(scene._root, lo, hi)
+    del d
+    return treelets

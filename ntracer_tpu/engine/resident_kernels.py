@@ -1,0 +1,535 @@
+"""Pallas TPU kernels with the whole triangle pool resident in VMEM.
+
+The round-1 kernels (pallas_kernels.py) stream TRI_BLOCK chunks HBM->VMEM
+on a static (ray, chunk) grid: every chunk's DMA happens for every ray
+block even when ``pl.when`` skips its compute, and chunks are visited in
+pool order, so the per-ray nearest-hit cutoff tightens late.  This module
+is the TPU-native analogue of the reference's near/far-ordered k-d
+traversal with t-clipping (tracer.hpp:1179-1243):
+
+  * the whole pool lives in VMEM for the duration of a ray block (pools up
+    to a few MB — every benchmark scene and typical OBJ meshes; larger
+    pools fall back to the streaming kernels),
+  * chunks follow k-d leaf order (spatially tight AABBs) and are visited
+    front-to-back via a per-frame permutation sorted by distance from the
+    shared ray origin — data-dependent *VMEM addressing*, not block DMA,
+    so it cannot defeat input double-buffering (the round-1 regression),
+  * a ``while`` loop terminates as soon as every ray's best hit is closer
+    than the minimum possible entry distance of all remaining chunks
+    (exact for shared-origin rays: ``dmin`` = point-to-AABB distance), and
+    each chunk is additionally skipped when no ray's slab-entry beats its
+    current best (the t-clipping of kd_node_intersection),
+  * plane dot products accumulate coordinate-by-coordinate on the VPU in
+    the same order as the scalar oracle (an MXU f32 matmul — even at
+    Precision.HIGHEST — rounds differently and flips ~0.2% of
+    ROUNDING_FUZZ-edge hits; measured, so the MXU stays off this path).
+
+Chunk size CK is a compile-time parameter: smaller chunks give tighter
+AABBs (more culling) at more per-chunk fixed cost.  Per-ray-block
+visited-chunk counts are returned for instrumentation (the analogue of
+instrumentation.hpp:4-53).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+f32 = jnp.float32
+
+RAY_BLOCK = 512
+CK = 128          # triangles per chunk (lane dimension), default
+C_PAD = 8         # coordinate rows padded to the f32 sublane tile
+
+ROUNDING_FUZZ = np.float32(np.finfo(np.float32).eps * 10)
+INF = np.float32(np.inf)
+BIG = np.float32(3e37)
+
+# VMEM budget for the resident pool (bytes); leaves room for the
+# (RAY_BLOCK, CK) slabs and Mosaic's working set out of ~16 MB.
+POOL_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _pad8(n):
+    return -(-n // 8) * 8
+
+
+def pool_vmem_bytes(n_tris: int, d: int, ck: int = CK) -> int:
+    """Physical VMEM footprint of the resident layouts (sublane-padded)."""
+    nc = -(-n_tris // ck)
+    return nc * (_pad8(d * d) * ck + 2 * C_PAD * ck) * 4
+
+
+def prepare_resident(tri_p1, tri_fn, tri_en, tri_dc, tri_lo, tri_hi, d,
+                     ck: int = CK):
+    """Host-side resident layouts (once per scene).
+
+    Returns numpy arrays:
+      ``gt``   (nc, pad8(d*d), ck) — plane rows, plane-major: row p*d+c =
+               coordinate c of plane p's normal (plane 0 = face normal);
+               pad rows zero.
+      ``ci``   (nc, 8, ck)  — row 0 = -dc (plane offset), rows 1..d-1 =
+               edge offsets e_i . p1, rest zero.
+      ``klo``/``khi`` (nc, d) — chunk AABBs; empty chunks inverted
+               (+BIG/-BIG) so slab tests miss.
+      ``b_lo``/``b_hi`` (d,) — pool AABB (nearest-hit cutoff).
+      ``n_eff`` (1,) i32 — number of non-empty chunks under ``base_order``.
+      ``base_order`` (nc,) int32 — identity order with empty chunks last.
+    """
+    T = tri_p1.shape[0]
+    assert T % ck == 0
+    nc = T // ck
+    planes = np.concatenate([tri_fn[:, None, :], tri_en], axis=1)  # (T,d,d)
+    pr = _pad8(d * d)
+    gt = np.zeros((nc, pr, ck), np.float32)
+    # gt[k, p*d + c, t] = planes[k*ck + t, p, c]
+    pk = planes.reshape(nc, ck, d, d).transpose(0, 2, 3, 1)  # (nc,p,c,t)
+    gt[:, :d * d, :] = pk.reshape(nc, d * d, ck)
+
+    ci = np.zeros((nc, C_PAD, ck), np.float32)
+    ci[:, 0, :] = -tri_dc.reshape(nc, ck)
+    eo = np.einsum("tid,td->ti", tri_en, tri_p1,
+                   dtype=np.float32)                      # (T, d-1)
+    ci[:, 1:d, :] = eo.reshape(nc, ck, d - 1).transpose(0, 2, 1)
+
+    klo = np.full((nc, d), BIG, np.float32)
+    khi = np.full((nc, d), -BIG, np.float32)
+    fn_norm = np.linalg.norm(tri_fn, axis=1)
+    nonempty = np.zeros(nc, bool)
+    for k in range(nc):
+        sl = slice(k * ck, (k + 1) * ck)
+        real = fn_norm[sl] > 0
+        if real.any():
+            klo[k] = tri_lo[sl][real].min(axis=0)
+            khi[k] = tri_hi[sl][real].max(axis=0)
+            nonempty[k] = True
+    if nonempty.any():
+        b_lo = klo[nonempty].min(axis=0)
+        b_hi = khi[nonempty].max(axis=0)
+    else:
+        b_lo = np.zeros(d, np.float32)
+        b_hi = np.zeros(d, np.float32)
+    base_order = np.argsort(~nonempty, kind="stable").astype(np.int32)
+    # ids are (nc, 8, ck) with the payload in row 0: a 1-sublane layout
+    # mis-reads under dynamic chunk indexing on real TPUs (sublane-padded
+    # tiles), so keep the leading slice tile-aligned
+    ids = np.zeros((nc, C_PAD, ck), np.int32)
+    ids[:, 0, :] = np.arange(T, dtype=np.int32).reshape(nc, ck)
+    return dict(gt=gt, ci=ci, ids=ids, klo=klo, khi=khi, b_lo=b_lo,
+                b_hi=b_hi, n_eff=np.asarray([int(nonempty.sum())], np.int32),
+                base_order=base_order)
+
+
+def prepare_resident_cells(treelets, tri_p1, tri_fn, tri_en, tri_dc,
+                           tri_lo, tri_hi, d, ck: int = CK):
+    """Resident layouts from k-d treelets (see flatten.kd_treelets): one
+    chunk per treelet, chunk AABB = content box CLIPPED to the treelet's
+    disjoint cell, ``ids`` mapping slots back to dedup'd pool ids (a
+    primitive duplicated across cells keeps one id, so skip tests and
+    nearest-hit winners behave as a single primitive).
+
+    Same return layout as prepare_resident."""
+    nc = len(treelets)
+    pr = _pad8(d * d)
+    gt = np.zeros((nc, pr, ck), np.float32)
+    ci = np.zeros((nc, C_PAD, ck), np.float32)
+    ids = np.full((nc, C_PAD, ck), -2, np.int32)  # -2 never matches a skip
+    klo = np.full((max(nc, 1), d), BIG, np.float32)
+    khi = np.full((max(nc, 1), d), -BIG, np.float32)
+
+    planes = np.concatenate([tri_fn[:, None, :], tri_en], axis=1)  # (T,d,d)
+    eo = np.einsum("tid,td->ti", tri_en, tri_p1, dtype=np.float32)
+
+    for k, (cl, ch, pids) in enumerate(treelets):
+        pids = np.asarray(pids, np.int64)
+        n = len(pids)
+        # gt[k, p*d + c, s] = planes[pids[s], p, c]
+        gt[k, :d * d, :n] = planes[pids].reshape(n, d * d).T
+        ci[k, 0, :n] = -tri_dc[pids]
+        ci[k, 1:d, :n] = eo[pids].T
+        ids[k, 0, :n] = pids
+        klo[k] = np.maximum(tri_lo[pids].min(axis=0), cl)
+        khi[k] = np.minimum(tri_hi[pids].max(axis=0), ch)
+
+    fn_norm = np.linalg.norm(tri_fn, axis=1)
+    real = fn_norm > 0
+    if real.any():
+        b_lo = tri_lo[real].min(axis=0)
+        b_hi = tri_hi[real].max(axis=0)
+    else:
+        b_lo = np.zeros(d, np.float32)
+        b_hi = np.zeros(d, np.float32)
+    return dict(gt=gt, ci=ci, ids=ids, klo=klo, khi=khi, b_lo=b_lo,
+                b_hi=b_hi, n_eff=np.asarray([nc], np.int32),
+                base_order=np.arange(max(nc, 1), dtype=np.int32))
+
+
+def centroid_bins(tri_lo, tri_hi, fn_norm, ck: int):
+    """Partition real triangles (non-degenerate AABBs) into spatial bins of
+    <= ck by recursive median split on the widest centroid axis.  Unlike
+    k-d treelets, every triangle lands in exactly ONE bin (no duplication);
+    bin boxes are the exact union of member AABBs, so they are disjoint up
+    to triangle extent — tight enough for front-to-back pruning on real
+    meshes where triangles are small.
+
+    Returns a list of (lo, hi, [pool ids]) compatible with
+    prepare_resident_cells (the clip box is the content box itself)."""
+    ids_all = np.nonzero(fn_norm > 0)[0]
+    if len(ids_all) == 0:
+        return []
+    cent = (tri_lo + tri_hi) * 0.5
+    out = []
+
+    def rec(ids):
+        if len(ids) <= ck:
+            lo = tri_lo[ids].min(axis=0)
+            hi = tri_hi[ids].max(axis=0)
+            out.append((lo, hi, list(ids)))
+            return
+        c = cent[ids]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        h = len(ids) // 2
+        rec(ids[order[:h]])
+        rec(ids[order[h:]])
+
+    # primitives whose box spans a large fraction of the scene (sliver
+    # batches, walls) would drag any spatial bin's box out to near-global
+    # and destroy the culling; give them dedicated always-visited bins
+    diag = np.linalg.norm(tri_hi[ids_all] - tri_lo[ids_all], axis=1)
+    scene_diag = np.linalg.norm(tri_hi[ids_all].max(axis=0)
+                                - tri_lo[ids_all].min(axis=0))
+    wide = diag > 0.35 * max(scene_diag, 1e-30)
+    for s in range(0, int(wide.sum()), ck):
+        ids = ids_all[wide][s:s + ck]
+        out.append((tri_lo[ids].min(axis=0), tri_hi[ids].max(axis=0),
+                    list(ids)))
+    narrow = ids_all[~wide]
+    if len(narrow):
+        rec(narrow)
+    return out
+
+
+def chunk_order(klo, khi, origin):
+    """Front-to-back chunk permutation + per-position lower bounds.
+
+    ``origin`` (d,) is the shared ray origin (the camera for primary
+    rays).  Returns (order (nc,) i32, dmin (nc,) f32) where dmin[k] is the
+    exact minimum distance from ``origin`` to chunk order[k]'s AABB —
+    a lower bound on any ray's entry distance, so the traversal can stop
+    once every ray's best hit is nearer.  Empty chunks (inverted AABBs)
+    sort last with dmin=BIG."""
+    span_ok = klo <= khi                       # (nc, d) False for empties
+    cl = jnp.minimum(klo, khi)
+    ch = jnp.maximum(klo, khi)
+    p = jnp.clip(origin[None, :], cl, ch)
+    dv = jnp.where(span_ok, p - origin[None, :], 0.0)
+    dist = jnp.sqrt(jnp.sum(dv * dv, axis=1))
+    dist = jnp.where(jnp.all(span_ok, axis=1), dist, BIG)
+    order = jnp.argsort(dist).astype(jnp.int32)
+    return order, jnp.sort(dist)
+
+
+def _scene_exit(o, dirs, b_lo, b_hi):
+    """Exit distance of each ray from the pool AABB (0 when missed)."""
+    inv = jnp.where(dirs != 0, 1.0 / jnp.where(dirs != 0, dirs, 1.0), 0.0)
+    a = (b_lo[None, :] - o) * inv
+    b = (b_hi[None, :] - o) * inv
+    par = dirs == 0
+    inside = (o >= b_lo[None, :]) & (o <= b_hi[None, :])
+    t0 = jnp.where(par, jnp.where(inside, -BIG, BIG), jnp.minimum(a, b))
+    t1 = jnp.where(par, jnp.where(inside, BIG, -BIG), jnp.maximum(a, b))
+    tn = jnp.max(t0, axis=-1)
+    tf = jnp.min(t1, axis=-1)
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tf >= 0)
+    return jnp.where(hit, tf * (1 + 16 * ROUNDING_FUZZ), 0.0)
+
+
+def _entry(o_d, d_d, lo, hi):
+    """Slab entry distances of a ray block against one chunk AABB.
+    o_d/d_d: (R, d); lo/hi: (d,) traced.  Returns (R, 1), INF on miss."""
+    par = d_d == 0
+    safe = jnp.where(par, 1.0, d_d)
+    inv = jnp.where(par, 0.0, 1.0 / safe)
+    a = (lo[None, :] - o_d) * inv
+    b = (hi[None, :] - o_d) * inv
+    inside = (o_d >= lo[None, :]) & (o_d <= hi[None, :])
+    t0 = jnp.where(par, jnp.where(inside, -BIG, BIG), jnp.minimum(a, b))
+    t1 = jnp.where(par, jnp.where(inside, BIG, -BIG), jnp.maximum(a, b))
+    tn = jnp.max(t0, axis=1, keepdims=True)
+    tf = jnp.min(t1, axis=1, keepdims=True)
+    entry = jnp.maximum(tn, 0.0)
+    ok = (tf >= entry) & (tf >= 0)
+    return jnp.where(ok, entry, INF)
+
+
+def _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx, o8, d8, skip):
+    """Ray-block x chunk intersection (tracer.hpp:411-440 vectorized).
+    Returns (t, valid): (RAY_BLOCK, ck).  Plane dots accumulate coordinate
+    by coordinate on the VPU — the same order as the scalar oracle."""
+    g = gt_ref[idx]                                   # (pad8(d*d), ck)
+    ci = ci_ref[idx]                                  # (8, ck)
+
+    def dots(p):
+        accO = jnp.zeros((RAY_BLOCK, ck), f32)
+        accD = jnp.zeros((RAY_BLOCK, ck), f32)
+        for c in range(d):
+            row = g[p * d + c][None, :]               # (1, ck)
+            accO += o8[:, c:c + 1] * row
+            accD += d8[:, c:c + 1] * row
+        return accO, accD
+
+    O0, denom = dots(0)
+    t = (ci[0][None, :] - O0) / denom                 # ci[0] = -dc
+    valid = (denom != 0) & (t > 0)
+    tot = jnp.zeros((RAY_BLOCK, ck), f32)
+    for i in range(1, d):
+        Oi, Di = dots(i)
+        a = ci[i][None, :] - Oi - t * Di
+        valid &= (a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ)
+        tot += a
+    valid &= tot <= 1 + ROUNDING_FUZZ
+
+    # pool ids per slot: skip tests use dedup'd GLOBAL ids so a primitive
+    # duplicated across cells behaves as one (self-hit skip still works)
+    valid &= ids_ref[idx][0:1, :] != skip             # (1, ck) vs (R, 1)
+    return t, valid
+
+
+def _nearest_kernel(d, ck, o_ref, dir_ref, skip_ref, init_t_ref,
+                    order_ref, dmin_ref, neff_ref, gt_ref, ci_ref, ids_ref,
+                    klo_ref, khi_ref, out_t_ref, out_id_ref, count_ref,
+                    best_t, best_id):
+    """Per-ray state lives in VMEM scratch mutated under ``pl.when``; the
+    while carry holds only scalars.  (Carrying (RAY_BLOCK, 1) vectors
+    through lax.while_loop + lax.cond miscompiled on real TPUs: whole ray
+    blocks lost their hits while interpret mode was exact.)"""
+    o8 = o_ref[:]                 # (RAY_BLOCK, 8) zero-padded coords
+    d8 = dir_ref[:]
+    o_d = o8[:, :d]
+    d_d = d8[:, :d]
+    skip = skip_ref[:]
+
+    best_t[:] = init_t_ref[:]
+    best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    n_eff = neff_ref[0]
+
+    def body(state):
+        k, _, visited = state
+        idx = order_ref[k]
+        entry = _entry(o_d, d_d, klo_ref[idx], khi_ref[idx])
+        pred = jnp.any(entry < best_t[:])
+
+        @pl.when(pred)
+        def _():
+            t, valid = _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx,
+                                   o8, d8, skip)
+            tm = jnp.where(valid, t, INF)
+            ct = jnp.min(tm, axis=1, keepdims=True)
+            carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
+            upd = ct < best_t[:]
+            best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
+            best_t[:] = jnp.where(upd, ct, best_t[:])
+
+        visited = visited + pred.astype(jnp.int32)
+        k = k + 1
+        # remaining chunks are at least dmin[k] from the shared origin:
+        # stop when no ray can improve (dmin is 0 for unshared origins).
+        # k is clamped because & does not short-circuit — dmin_ref[n_eff]
+        # would be an out-of-bounds SMEM read (garbage on real TPUs).
+        kc = jnp.minimum(k, order_ref.shape[0] - 1)
+        go = (k < n_eff) & (jnp.max(best_t[:]) > dmin_ref[kc])
+        return k, go, visited
+
+    go0 = (n_eff > 0) & (jnp.max(best_t[:]) > dmin_ref[0])
+    _, _, visited = jax.lax.while_loop(
+        lambda s: s[1], body, (jnp.int32(0), go0, jnp.int32(0)))
+    out_t_ref[:] = best_t[:]
+    out_id_ref[:] = best_id[:]
+    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("d",))
+def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None):
+    """Nearest hit over the resident pool.  Returns (t, local_id, visited):
+    t=inf / id=-1 for misses; visited = chunks tested per ray block
+    (instrumentation).  ``skip`` is a LOCAL pool index (or -1).
+
+    ``order``/``dmin`` select the chunk visit order (see chunk_order);
+    default is pool order with no distance bound.  ``active`` masks rays
+    out entirely (their blocks exit the walk immediately when compacted
+    together)."""
+    R = o.shape[0]
+    nc, pr, ck = res["gt"].shape
+    ni = R // RAY_BLOCK
+
+    if order is None:
+        order = res["base_order"]
+        dmin = jnp.zeros((nc,), f32)
+    init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
+    if active is not None:
+        init_t = jnp.where(active, init_t, 0.0)
+
+    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
+    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+
+    out_t, out_id, counts = pl.pallas_call(
+        partial(_nearest_kernel, d, ck),
+        grid=(ni,),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # order
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # dmin
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
+            pl.BlockSpec((nc, pr, ck), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+        ],
+    )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
+      res["gt"], res["ci"], res["ids"], res["klo"], res["khi"])
+    # kernel returns the winning SLOT; map to the dedup'd global pool id
+    slot = out_id[:, 0]
+    slot_ids = res["ids"][:, 0, :].reshape(-1)
+    gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
+    return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]
+
+
+def _occlusion_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                      order_ref, neff_ref, gt_ref, ci_ref, ids_ref,
+                      klo_ref, khi_ref, out_ref, count_ref, blocked):
+    o8 = o_ref[:]
+    d8 = dir_ref[:]
+    o_d = o8[:, :d]
+    d_d = d8[:, :d]
+    skip = skip_ref[:]
+    ldist = ldist_ref[:]
+
+    blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    n_eff = neff_ref[0]
+
+    def body(state):
+        k, _, visited = state
+        idx = order_ref[k]
+        entry = _entry(o_d, d_d, klo_ref[idx], khi_ref[idx])
+        pred = jnp.any((blocked[:] == 0) & (entry < ldist))
+
+        @pl.when(pred)
+        def _():
+            t, valid = _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx,
+                                   o8, d8, skip)
+            valid &= t < ldist
+            hit = jnp.any(valid, axis=1, keepdims=True)
+            blocked[:] = jnp.where(hit, 1, blocked[:])
+
+        visited = visited + pred.astype(jnp.int32)
+        k = k + 1
+        go = (k < n_eff) & jnp.any((blocked[:] == 0) & (ldist > 0))
+        return k, go, visited
+
+    go0 = (n_eff > 0) & jnp.any(ldist > 0)
+    _, _, visited = jax.lax.while_loop(
+        lambda s: s[1], body, (jnp.int32(0), go0, jnp.int32(0)))
+    out_ref[:] = blocked[:]
+    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("d",))
+def occluded(res, o, dirs, ldist, skip, d, order=None):
+    """Any-hit within distance over the resident pool.  Rays with
+    ``ldist <= 0`` are inactive (compacted-away shadow queries cost
+    nothing once every live ray is resolved).  Returns (blocked (R,) bool,
+    visited (ni,) i32)."""
+    R = o.shape[0]
+    nc, pr, ck = res["gt"].shape
+    ni = R // RAY_BLOCK
+    if order is None:
+        order = res["base_order"]
+
+    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
+    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+
+    out, counts = pl.pallas_call(
+        partial(_occlusion_kernel, d, ck),
+        grid=(ni,),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # order
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
+            pl.BlockSpec((nc, pr, ck), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+        ],
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
+      res["gt"], res["ci"], res["ids"], res["klo"], res["khi"])
+    return out[:, 0] != 0, counts[::RAY_BLOCK, 0]

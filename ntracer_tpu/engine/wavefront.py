@@ -172,12 +172,77 @@ def _kernel_ok(arrs, cfg, R):
             and R % pk.RAY_BLOCK == 0)
 
 
-def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
+def _kernel2_ok(arrs, cfg, R):
+    """Use the VMEM-resident traversal kernel (front-to-back chunk walk
+    with per-ray early termination) when its layouts were prepared —
+    pools that fit the VMEM budget, no transparency."""
+    from . import resident_kernels as rk
+    return "res_gt" in arrs and not cfg.has_transparency \
+        and R % rk.RAY_BLOCK == 0
+
+
+def _res_dict(arrs):
+    return dict(gt=arrs["res_gt"], ci=arrs["res_ci"], ids=arrs["res_ids"],
+                klo=arrs["res_klo"], khi=arrs["res_khi"],
+                b_lo=arrs["res_blo"], b_hi=arrs["res_bhi"],
+                n_eff=arrs["res_neff"], base_order=arrs["res_order"])
+
+
+def _stat(stats, key, val):
+    if stats is not None:
+        stats[key] = stats.get(key, 0) + val
+
+
+def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
+               active=None, stats=None):
     """Nearest-opaque + top-K transparent trace over the triangle pool and
-    solids.  Returns a dict of per-ray results."""
+    solids.  Returns a dict of per-ray results.
+
+    ``shared_origin`` (d,) enables exact front-to-back chunk ordering +
+    early traversal exit (valid when every ray starts there — primary
+    rays).  ``active`` masks rays out of the trace entirely (bounce rays
+    whose weight died); with the resident kernel, live rays are compacted
+    to the front so fully-dead ray blocks terminate immediately.
+    ``stats`` (optional dict) accumulates instrumentation counters."""
     R = o.shape[0]
     d = cfg.d
     K = cfg.max_transparent_hits if cfg.has_transparency else 0
+
+    # kernel choice (measured on the 120-cell, v5e): the HBM-streaming grid
+    # kernel has the lowest per-triangle cost and wins when every ray is
+    # live (the primary trace); the VMEM-resident walk wins for secondary
+    # work, where compaction lets all-dead ray blocks exit immediately.
+    use_res = _kernel2_ok(arrs, cfg, R) and (
+        active is not None or not _kernel_ok(arrs, cfg, R))
+    if use_res:
+        from . import resident_kernels as rk
+        res_k = _res_dict(arrs)
+        skip_local = skip - arrs["tri_base"]
+        if shared_origin is not None:
+            order, dmin = rk.chunk_order(res_k["klo"], res_k["khi"],
+                                         shared_origin)
+        else:
+            order = dmin = None
+        if active is not None:
+            # wavefront compaction (SURVEY §7): live rays first, so
+            # all-dead trailing blocks exit the chunk walk at step 0
+            perm = jnp.argsort(jnp.where(active, 0, 1))
+            inv = jnp.argsort(perm)
+            kt, kid, vis = rk.nearest_hit(
+                res_k, o[perm], dirs[perm], skip_local[perm], d,
+                order=order, dmin=dmin, active=active[perm])
+            kt, kid = kt[inv], kid[inv]
+            _stat(stats, "rays_traced", jnp.sum(active.astype(jnp.int32)))
+        else:
+            kt, kid, vis = rk.nearest_hit(res_k, o, dirs, skip_local, d,
+                                          order=order, dmin=dmin)
+            _stat(stats, "rays_traced", R)
+        _stat(stats, "chunks_visited", jnp.sum(vis))
+        carry = dict(
+            t=jnp.where(kid >= 0, kt, REAL_MAX),
+            pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
+        )
+        return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
 
     if _kernel_ok(arrs, cfg, R):
         from . import pallas_kernels as pk
@@ -187,6 +252,7 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
                     b_hi=arrs["kern_bhi"])
         skip_local = skip - arrs["tri_base"]
         kt, kid = pk.nearest_hit(kern, o, dirs, skip_local, d)
+        _stat(stats, "rays_traced", R)
         carry = dict(
             t=jnp.where(kid >= 0, kt, REAL_MAX),
             pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
@@ -204,7 +270,10 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
     init = dict(
         t=jnp.full((R,), REAL_MAX, dtype=f32),
         pid=jnp.full((R,), -1, dtype=jnp.int32),
+        nvis=jnp.int32(0),
     )
+    if active is not None:
+        init["t"] = jnp.where(active, init["t"], 0.0)
     if K:
         init["tt"] = jnp.full((R, K), INF, dtype=f32)
         init["tid"] = jnp.full((R, K), -1, dtype=jnp.int32)
@@ -244,12 +313,16 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip):
             return out
 
         carry = jax.lax.cond(pred, run, lambda c: c, carry)
+        carry["nvis"] = carry["nvis"] + pred.astype(jnp.int32)
         return carry, None
 
     xs = (ck["p1"], ck["fn"], ck["en"], ck["dc"], ck["opacity"],
           ck["lo"], ck["hi"], ck["nonempty"],
           jnp.arange(nc, dtype=jnp.int32))
     carry, _ = jax.lax.scan(lambda c, x: chunk_step(c, x), init, xs)
+    _stat(stats, "chunks_visited", carry.pop("nvis"))
+    _stat(stats, "rays_traced",
+          R if active is None else jnp.sum(active.astype(jnp.int32)))
     return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
 
 
@@ -419,12 +492,30 @@ def _solid_test(arrs, s, o, dirs, d):
 # Occlusion (shadow) query: any opaque hit + transparency product
 # ---------------------------------------------------------------------------
 
-def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip):
+def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None):
     """Returns (blocked (R,), filt (R,)) — filt is the product of
     (1 - opacity) over transparent hits with 0 < t < ldist
-    (light_reaches, tracer.hpp:1750-1766, with true any-hit semantics)."""
+    (light_reaches, tracer.hpp:1750-1766, with true any-hit semantics).
+
+    Rays with ``ldist <= 0`` are inactive (shadow queries skipped by the
+    caller's early-outs); the resident kernel compacts live rays to the
+    front so fully-dead ray blocks cost nothing."""
     R = o.shape[0]
     d = cfg.d
+
+    if _kernel2_ok(arrs, cfg, R):
+        from . import resident_kernels as rk
+        res_k = _res_dict(arrs)
+        skip_local = skip - arrs["tri_base"]
+        live = ldist > 0
+        perm = jnp.argsort(jnp.where(live, 0, 1))
+        inv = jnp.argsort(perm)
+        blk, vis = rk.occluded(res_k, o[perm], dirs[perm], ldist[perm],
+                               skip_local[perm], d)
+        _stat(stats, "shadow_rays", jnp.sum(live.astype(jnp.int32)))
+        _stat(stats, "occl_chunks_visited", jnp.sum(vis))
+        carry = dict(blocked=blk[inv], filt=jnp.ones((R,), f32))
+        return _occlusion_finish(arrs, cfg, o, dirs, ldist, skip, carry)
 
     if _kernel_ok(arrs, cfg, R):
         from . import pallas_kernels as pk
@@ -441,7 +532,8 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip):
     nc = ck["p1"].shape[0]
     ids_base = jnp.arange(CHUNK, dtype=jnp.int32)
 
-    init = dict(blocked=jnp.zeros((R,), bool), filt=jnp.ones((R,), f32))
+    init = dict(blocked=jnp.zeros((R,), bool), filt=jnp.ones((R,), f32),
+                nvis=jnp.int32(0))
 
     def chunk_step(carry, inputs):
         (p1, fn, en, dc, opacity, lo, hi, nonempty, cidx) = inputs
@@ -461,15 +553,18 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip):
                     jnp.where(tr, 1 - opacity[None, :], 1.0), axis=1)
             else:
                 filt = carry["filt"]
-            return dict(blocked=blocked, filt=filt)
+            return dict(blocked=blocked, filt=filt, nvis=carry["nvis"])
 
         carry = jax.lax.cond(pred, run, lambda c: c, carry)
+        carry["nvis"] = carry["nvis"] + pred.astype(jnp.int32)
         return carry, None
 
     xs = (ck["p1"], ck["fn"], ck["en"], ck["dc"], ck["opacity"],
           ck["lo"], ck["hi"], ck["nonempty"],
           jnp.arange(nc, dtype=jnp.int32))
     carry, _ = jax.lax.scan(chunk_step, init, xs)
+    _stat(stats, "shadow_rays", jnp.sum((ldist > 0).astype(jnp.int32)))
+    _stat(stats, "occl_chunks_visited", carry.pop("nvis"))
     return _occlusion_finish(arrs, cfg, o, dirs, ldist, skip, carry)
 
 
@@ -500,7 +595,7 @@ def _occlusion_finish(arrs, cfg, o, dirs, ldist, skip, carry):
 # ---------------------------------------------------------------------------
 
 def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
-                dyn):
+                dyn, active=None, stats=None):
     """Local lighting of a batch of hit points.  Returns
     (local_color (R,3), child_coef (R,3), child_dir (R,d)).
 
@@ -508,7 +603,12 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
     etc.).  The reflection child is folded in by the caller's bounce loop:
     surface = local + child_coef * ray_color(child_dir).  ``pid`` is used
     only as the self-intersection skip for shadow rays; ``mi`` is the
-    material index captured by the trace."""
+    material index captured by the trace.
+
+    ``active`` marks rays whose shading result will actually be used (the
+    caller masks misses to background) — shadow queries are suppressed for
+    inactive rays (the per-pixel early-outs of tracer.hpp:1750-1854),
+    which with ray compaction makes them cost ~nothing."""
     R = dirs.shape[0]
     mc = arrs["mat_color"][mi]
     mspec = arrs["mat_specular"][mi]
@@ -544,7 +644,11 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
         strength = 1.0 / jnp.power(dist, cfg.d - 1)
         if cfg.shadows:
             want = (sine > 0) & (jnp.max(plc) * strength * sine > LIGHT_THRESHOLD)
-            blocked, filt = occlusion(arrs, cfg, point, lv, dist, pid)
+            if active is not None:
+                want &= active
+            blocked, filt = occlusion(arrs, cfg, point, lv,
+                                      jnp.where(want, dist, 0.0), pid,
+                                      stats=stats)
             ok = want & ~blocked
             filtered = plc[None, :] * filt[:, None] * strength[:, None]
             light += jnp.where(ok[:, None], filtered * sine[:, None], 0.0)
@@ -559,10 +663,12 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
         sine = -_dot(normal, gld[None, :])
         if cfg.shadows:
             want = sine > 0
+            if active is not None:
+                want &= active
             ld = jnp.broadcast_to(-gld, point.shape)
             blocked, filt = occlusion(
                 arrs, cfg, point, ld,
-                jnp.full((R,), REAL_MAX, f32), pid)
+                jnp.where(want, REAL_MAX, 0.0), pid, stats=stats)
             ok = want & ~blocked
             filtered = glc[None, :] * filt[:, None]
             light += jnp.where(ok[:, None], filtered * sine[:, None], 0.0)
@@ -634,31 +740,58 @@ def aabb_distance(cfg, arrs, o, dirs):
 # Full per-tile ray color with bounce loop
 # ---------------------------------------------------------------------------
 
-def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs):
+def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False):
     """Color of R rays (ray_color, tracer.hpp:1856-1883) with reflections
-    unrolled into a weighted bounce loop."""
+    unrolled into a weighted bounce loop.
+
+    ``with_stats=True`` additionally returns a dict of instrumentation
+    counters (rays traced, chunks visited, shadow rays — the analogue of
+    the reference's PROFILE_CODE timers, instrumentation.hpp:4-53)."""
     R = o.shape[0]
     out = jnp.zeros((R, 3), f32)
     weight = jnp.ones((R, 3), f32)
     active = jnp.ones((R,), bool)
     skip = jnp.full((R,), -1, jnp.int32)
+    stats = {} if with_stats else None
 
     max_bounces = cfg.max_reflect_depth if cfg.has_reflectivity else 0
+    # shade-stage compaction pairs with the resident kernel's per-block
+    # early exit; pointless (pure overhead) on the other paths
+    compact = _kernel2_ok(arrs, cfg, R) and cfg.shadows
 
     for depth in range(max_bounces + 1):
-        res = trace_pool(arrs, cfg, o, dirs, skip)
+        res = trace_pool(arrs, cfg, o, dirs, skip,
+                         shared_origin=o[0] if depth == 0 else None,
+                         active=None if depth == 0 else active,
+                         stats=stats)
         dist = aabb_distance(cfg, arrs, o, dirs)
         hit = res["hit"] & (dist >= 0)
+        live = hit if depth == 0 else (hit & active)
 
-        local, child_coef, child_dir = shade_local(
-            arrs, cfg, dirs, res["point"], res["normal"], res["pid"],
-            res["mat"], depth, dyn)
+        if compact:
+            # sort shaded rays to the front so the occlusion kernels see
+            # all-dead trailing blocks (they exit their chunk walk at
+            # step 0) — the misses' shadow queries vanish
+            perm = jnp.argsort(jnp.where(live, 0, 1))
+            inv = jnp.argsort(perm)
+            local, child_coef, child_dir = shade_local(
+                arrs, cfg, dirs[perm], res["point"][perm],
+                res["normal"][perm], res["pid"][perm], res["mat"][perm],
+                depth, dyn, active=live[perm], stats=stats)
+            local = local[inv]
+            child_coef = child_coef[inv]
+            child_dir = child_dir[inv]
+        else:
+            local, child_coef, child_dir = shade_local(
+                arrs, cfg, dirs, res["point"], res["normal"], res["pid"],
+                res["mat"], depth, dyn, active=live, stats=stats)
         bg = background(cfg, dyn, dirs)
         color_here = jnp.where(hit[:, None], local, bg)
 
         if cfg.has_transparency:
             color_here, weight_scale = _compose_transparent(
-                arrs, cfg, dyn, o, dirs, res, hit, color_here, depth)
+                arrs, cfg, dyn, o, dirs, res, hit, color_here, depth,
+                stats=stats)
         else:
             weight_scale = jnp.ones((R,), f32)
 
@@ -672,11 +805,13 @@ def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs):
         dirs = _unit(child_dir)
         skip = res["pid"]
 
+    if with_stats:
+        return out, {k: jnp.asarray(v) for k, v in stats.items()}
     return out
 
 
 def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
-                         depth):
+                         depth, stats=None):
     """Far-to-near transparent composition (tracer.hpp:1870-1880) over the
     K nearest transparent hits.  Returns (color, weight_scale): the bounce
     loop multiplies the opaque child's weight by the total transmission."""
@@ -693,7 +828,7 @@ def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
         normal = res["tnorm"][:, k]
         mi = res["tmat"][:, k]
         local, _, _ = shade_local(arrs, cfg, dirs, point, normal, safe_id,
-                                  mi, depth, dyn)
+                                  mi, depth, dyn, active=valid, stats=stats)
         op = arrs["mat_opacity"][mi]
         new = local * op[:, None] + color * (1 - op)[:, None]
         color = jnp.where(valid[:, None], new, color)
@@ -787,6 +922,82 @@ def _frame_packed_box(d, cam_origin, cam_t, fov_params, base, w, n_tiles,
     return out.reshape(n_tiles * TILE, -1)
 
 
+@partial(jax.jit, static_argnames=("cfg", "w", "n_tiles"))
+def _frame_stats_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
+                           w, n_tiles):
+    """Instrumentation counters for one frame (no pixels pulled): rays
+    traced, pool chunks visited/skipped, shadow rays issued — the
+    per-stage analogue of the reference's PROFILE_CODE timers."""
+    fovI, half_w, half_h = fov_params
+
+    def tile(start):
+        idx = start + jnp.arange(TILE, dtype=jnp.int32)
+        xs = (idx % w).astype(f32)
+        ys = (idx // w).astype(f32)
+        o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
+        _, stats = ray_colors(arrs, cfg, dyn, o, dirs, with_stats=True)
+        return stats
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE
+    stats = jax.lax.map(tile, starts)
+    return {k: jnp.sum(v) for k, v in stats.items()}
+
+
+def frame_stats(scene, width, height):
+    """Host helper: per-stage counters for one frame of ``scene``."""
+    cfg, device, _flat = get_device_scene(scene)
+    dyn = _scene_dyn(scene)
+    scene._set_view_size(width, height)
+    fov = _fov_params(width, height, scene.fov)
+    n_tiles = -(-(width * height) // TILE)
+    out = _frame_stats_composite(device, cfg, dyn,
+                                 jnp.asarray(scene._cam._origin),
+                                 jnp.asarray(scene._cam._t), fov,
+                                 width, n_tiles)
+    return {k: int(v) for k, v in out.items()}
+
+
+def frame_device_arrays(scene, fmt):
+    """Dispatch one full frame and return the packed device array(s)
+    WITHOUT pulling them to the host — for measuring on-device time
+    (compute only, no host link)."""
+    from . import packing
+    scene._set_view_size(fmt.width, fmt.height)
+    fov = _fov_params(fmt.width, fmt.height, scene.fov)
+    key = packing.format_key(fmt)
+    cam_origin = jnp.asarray(scene._cam._origin)
+    cam_t = jnp.asarray(scene._cam._t)
+    n_tiles = -(-(fmt.width * fmt.height) // TILE)
+    if hasattr(scene, "_device_cache"):
+        cfg, device, _flat = get_device_scene(scene)
+        dyn = _scene_dyn(scene)
+        return _frame_packed_composite(device, cfg, dyn, cam_origin, cam_t,
+                                       fov, jnp.int32(0), fmt.width,
+                                       n_tiles, key)
+    return _frame_packed_box(scene.dimension, cam_origin, cam_t, fov,
+                             jnp.int32(0), fmt.width, n_tiles, key)
+
+
+def _write_pixels(view, fmt, data, start_px, total):
+    """Copy packed pixel bytes into the destination buffer, honoring
+    ``fmt.pitch`` (non-contiguous rows)."""
+    bpp = fmt.bytes_per_pixel
+    count = min(data.shape[0], total - start_px)
+    flat = data[:count].reshape(-1)
+    if fmt.pitch == fmt.width * bpp:
+        view[start_px * bpp:(start_px + count) * bpp] = flat.tobytes()
+        return
+    p = start_px
+    off = 0
+    while p < start_px + count:
+        y, x = divmod(p, fmt.width)
+        n = min(fmt.width - x, start_px + count - p)
+        dst = y * fmt.pitch + x * bpp
+        view[dst:dst + n * bpp] = flat[off:off + n * bpp].tobytes()
+        off += n * bpp
+        p += n
+
+
 def render_packed(scene, fmt, view, abort_check) -> bool:
     """Render a full frame into the writable byte ``view``.
 
@@ -804,6 +1015,28 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
     n_tiles = -(-total // TILE)
     if abort_check():
         return False
+
+    # multi-chip: shard pixels over every device by default, mirroring the
+    # reference renderer's threads = hardware cores (render.cpp:565-571)
+    devs = jax.devices()
+    if len(devs) > 1:
+        from ..parallel import mesh as pmesh
+        m = pmesh.make_mesh(len(devs), 1)
+        per = -(-total // len(devs))
+        per = -(-per // 512) * 512
+        if per > TILE:
+            per = -(-per // TILE) * TILE
+        fn, arrs = pmesh.get_packed_renderer(scene, m, fmt.width, per, key)
+        if arrs is None:
+            dev = fn(cam_origin, cam_t, fov, jnp.int32(0))
+        else:
+            dev = fn(arrs, _scene_dyn(scene), cam_origin, cam_t, fov,
+                     jnp.int32(0))
+        if abort_check():
+            return False
+        data = np.asarray(dev)
+        _write_pixels(view, fmt, data, 0, total)
+        return True
 
     # split into a few slabs so the next slab's compute overlaps the
     # previous slab's device-to-host pull; small frames use one slab (each
@@ -833,27 +1066,11 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
     profile = os.environ.get("NTRACER_PROFILE")
     t_dispatch = time.perf_counter()
 
-    bpp = fmt.bytes_per_pixel
-    contiguous = fmt.pitch == fmt.width * bpp
     for (s0, _nt), dev in zip(slab_tiles, slabs):
         if abort_check():
             return False
         data = np.asarray(dev)  # D2H; later slabs still computing
-        start_px = s0 * TILE
-        count = min(data.shape[0], total - start_px)
-        flat = data[:count].reshape(-1)
-        if contiguous:
-            view[start_px * bpp:(start_px + count) * bpp] = flat.tobytes()
-        else:
-            p = start_px
-            off = 0
-            while p < start_px + count:
-                y, x = divmod(p, fmt.width)
-                n = min(fmt.width - x, start_px + count - p)
-                dst = y * fmt.pitch + x * bpp
-                view[dst:dst + n * bpp] = flat[off:off + n * bpp].tobytes()
-                off += n * bpp
-                p += n
+        _write_pixels(view, fmt, data, s0 * TILE, total)
     if profile:
         # instrumentation analogue of the reference's PROFILE_CODE timers
         print(f"[ntracer_tpu] frame {fmt.width}x{fmt.height}: "
@@ -945,21 +1162,54 @@ def get_device_scene(scene):
             sl = slice(c * CHUNK, (c + 1) * CHUNK)
             real = fn_norms[sl] > 0
             if real.any():
-                lo[c] = arrs["tri_lo"][sl][real].min(axis=0)
-                hi[c] = arrs["tri_hi"][sl][real].max(axis=0)
+                lo[c] = arrs["cull_lo"][sl][real].min(axis=0)
+                hi[c] = arrs["cull_hi"][sl][real].max(axis=0)
                 nonempty[c] = True
         arrs["ck_lo"] = lo
         arrs["ck_hi"] = hi
         arrs["ck_nonempty"] = nonempty
         arrs["tri_base"] = np.int32(0)
         arrs["sol_base"] = np.int32(flat.config.n_tris)
-        # Pallas kernel layouts (opaque pools on TPU)
-        if (jax.default_backend() == "tpu"
-                and not flat.config.has_transparency):
+        # Pallas kernel layouts (opaque pools on TPU; NTRACER_FORCE_KERNELS
+        # exercises them in interpreter mode for tests)
+        import os as _os
+        want_kernels = (jax.default_backend() == "tpu"
+                        or _os.environ.get("NTRACER_FORCE_KERNELS"))
+        if want_kernels and not flat.config.has_transparency:
+            from . import resident_kernels as rk
+            res = None
+            if d <= rk.C_PAD:
+                # spatial bins by triangle centroid: near-disjoint chunk
+                # boxes -> front-to-back pruning actually prunes (k-d
+                # treelet cells were measured 10x worse: the 4-D k-d tree
+                # duplicates primitives across cells ~10x)
+                fn_norm = np.linalg.norm(arrs["tri_fn"], axis=1)
+                bins = rk.centroid_bins(arrs["cull_lo"], arrs["cull_hi"],
+                                        fn_norm, rk.CK)
+                if bins and (rk.pool_vmem_bytes(
+                        len(bins) * rk.CK, d) <= rk.POOL_VMEM_BUDGET):
+                    res = rk.prepare_resident_cells(
+                        bins, arrs["tri_p1"], arrs["tri_fn"],
+                        arrs["tri_en"], arrs["tri_dc"], arrs["cull_lo"],
+                        arrs["cull_hi"], d)
+            if res is not None:
+                arrs["res_gt"] = res["gt"]
+                arrs["res_ci"] = res["ci"]
+                arrs["res_ids"] = res["ids"]
+                arrs["res_klo"] = res["klo"]
+                arrs["res_khi"] = res["khi"]
+                arrs["res_blo"] = res["b_lo"]
+                arrs["res_bhi"] = res["b_hi"]
+                arrs["res_order"] = res["base_order"]
+                arrs["res_neff"] = res["n_eff"]
+            # HBM-streaming grid kernel: measured fastest for the primary
+            # (all-rays-active) trace; the resident kernel handles
+            # compacted secondary work and oversized pools' fallback is
+            # the chunked XLA scan
             from . import pallas_kernels as pk
             kern = pk.prepare_tri_arrays(
                 arrs["tri_p1"], arrs["tri_fn"], arrs["tri_en"],
-                arrs["tri_dc"], arrs["tri_lo"], arrs["tri_hi"], d)
+                arrs["tri_dc"], arrs["cull_lo"], arrs["cull_hi"], d)
             arrs["kern_gt"] = kern["gt"]
             arrs["kern_ci"] = kern["ci"]
             arrs["kern_klo"] = kern["k_lo"]
@@ -968,7 +1218,7 @@ def get_device_scene(scene):
             arrs["kern_blo"] = kern["b_lo"]
             arrs["kern_bhi"] = kern["b_hi"]
         device = {k: jnp.asarray(v) for k, v in arrs.items()
-                  if k not in ("tri_lo", "tri_hi")}
+                  if k not in ("tri_lo", "tri_hi", "cull_lo", "cull_hi")}
         scene._device_cache = (flat.config, device, flat)
 
     cfg, device, flat = scene._device_cache

@@ -10,9 +10,11 @@ Host-side (NumPy) port of the reference build pipeline:
   - build_kdtree                          tracer.hpp:2431-2455
 
 The output feeds both the Python KD node objects (oracle traversal) and the
-flattened device arrays for the TPU engine.  The reference parallelizes the
-build with a worker pool (tracer.hpp:2131-2271); here the build is a single
-host pass (an optional C++ builder is planned for large scenes).
+flattened device arrays for the TPU engine.  The hot path is the native C++
+builder (csrc/kd_builder.cpp), parallelized with a bounded thread pool like
+the reference's kd_node_worker_pool (tracer.hpp:2131-2271) and controlled by
+the user-visible ``extra_threads``; this NumPy implementation is the
+fallback and stays single-threaded.
 """
 
 from __future__ import annotations
@@ -381,7 +383,7 @@ def find_split(b_start, b_end, axis, contain_p, overlap_p, params):
 
 def best_axis(b_start, b_end) -> int:
     widths = b_end - b_start
-    return int(np.argmax(widths == widths.max()) if False else np.argmax(widths))
+    return int(np.argmax(widths))
 
 
 def _is_flat_skip(proto):
@@ -548,7 +550,7 @@ def group_primitives(primitives):
 
 
 def build_tree(prototypes, params: KDTreeParams, make_leaf, make_branch,
-               group=True):
+               group=True, extra_threads=-1):
     """Merge AABBs, group into batches, run the SAH build.
 
     Returns ``(b_start, b_end, root, grouped_prototypes)``.
@@ -565,7 +567,8 @@ def build_tree(prototypes, params: KDTreeParams, make_leaf, make_branch,
 
     # native C++ SAH builder (csrc/kd_builder.cpp); NumPy fallback below
     from . import native
-    root = native.build_tree_native(grouped, params, make_leaf, make_branch)
+    root = native.build_tree_native(grouped, params, make_leaf, make_branch,
+                                    extra_threads=extra_threads)
     if root is None:
         root = create_node(-1, b_start.copy(), b_end.copy(), grouped, [],
                            params, make_leaf, make_branch)

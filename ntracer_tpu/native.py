@@ -44,11 +44,15 @@ def get_lib():
         try:
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+                # per-process temp name: concurrent first-use from several
+                # processes must not interleave writes before the atomic
+                # os.replace
+                tmp = f"{so}.{os.getpid()}.tmp"
                 subprocess.run(
-                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
-                     "-o", so + ".tmp"],
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                     "-pthread", _SRC, "-o", tmp],
                     check=True, capture_output=True)
-                os.replace(so + ".tmp", so)
+                os.replace(tmp, so)
             lib = ctypes.CDLL(so)
         except Exception:
             return None
@@ -59,7 +63,8 @@ def get_lib():
         lib.ntr_build.argtypes = [
             ctypes.c_int, ctypes.c_int, f32p, f32p, i32p, i32p, i32p,
             f32p, f32p, f32p, f32p, f32p, f32p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float, i32p]
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, i32p]
         lib.ntr_num_nodes.restype = ctypes.c_int32
         lib.ntr_num_nodes.argtypes = [ctypes.c_void_p]
         lib.ntr_num_items.restype = ctypes.c_int32
@@ -81,7 +86,8 @@ def _ip(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
-def build_tree_native(prototypes, params, make_leaf, make_branch):
+def build_tree_native(prototypes, params, make_leaf, make_branch,
+                      extra_threads=-1):
     """Run the C++ SAH build over (already batch-grouped) prototypes.
 
     Returns the root node built via ``make_leaf``/``make_branch``, or None
@@ -159,7 +165,9 @@ def build_tree_native(prototypes, params, make_leaf, make_branch):
         _ip(tri_count), _fp(pts), _fp(axes), _fp(fnormal), _fp(sol_orient),
         _fp(sol_inv), _fp(sol_pos), int(params.max_depth),
         int(params.split_threshold), float(params.traversal),
-        float(params.intersection), _ip(root_out))
+        float(params.intersection), int(extra_threads), _ip(root_out))
+    if not h:
+        return None
     try:
         n_nodes = lib.ntr_num_nodes(h)
         n_items = lib.ntr_num_items(h)

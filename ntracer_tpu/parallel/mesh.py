@@ -91,6 +91,13 @@ def build_sharded_renderer(scene, mesh: Mesh, tile: int):
     arrs = {k: np.asarray(v) for k, v in device.items()}
     arrs, cfg, per_shard = _pad_pool(arrs, cfg, n_prim)
     del arrs["tri_base"], arrs["sol_base"]
+    # The Pallas kern_*/res_* layouts describe the FULL pool; under
+    # shard_map each shard holds a per-shard pool slice, so replicating
+    # them would trace the whole pool with per-shard id offsets
+    # (wrong/duplicate global ids, mis-offset skips, bad geometry gathers).
+    # Drop them: the chunked XLA path handles sharded pools correctly.
+    for k in [k for k in arrs if k.startswith(("kern_", "res_"))]:
+        del arrs[k]
 
     cfg_shard = dataclasses.replace(
         cfg,
@@ -123,12 +130,149 @@ def build_sharded_renderer(scene, mesh: Mesh, tile: int):
     return jax.jit(fn), arrs
 
 
+def get_sharded_renderer(scene, mesh: Mesh, tile: int):
+    """Cached ``build_sharded_renderer``: re-tracing/compiling the shard_map
+    per frame costs minutes on tunneled TPU setups.  The cache lives on the
+    scene (cleared by geometry mutation, like ``_device_cache``) and is keyed
+    by mesh layout, tile size, and the static render config."""
+    cfg, _, _ = wavefront.get_device_scene(scene)
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, tile, cfg)
+    cache = getattr(scene, "_mesh_cache", None)
+    if cache is None or cache[0] is not scene._device_cache \
+            or key not in cache[1]:
+        if cache is None or cache[0] is not scene._device_cache:
+            cache = (scene._device_cache, {})
+            scene._mesh_cache = cache
+        cache[1][key] = build_sharded_renderer(scene, mesh, tile)
+    return cache[1][key]
+
+
+def build_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
+    """Frame renderer for the PRODUCTION path: pixels sharded over the
+    ``px`` axis, per-shard ray indices generated on-device (no per-frame
+    H2D), channel packing on-device per shard — only packed bytes cross
+    the host link.  This is the TPU equivalent of the reference renderer
+    using all cores by default (render.cpp:565-571).
+
+    Pool arrays stay replicated (``prim`` axis unused -> the Pallas kernel
+    layouts remain valid per shard).  Returns ``(fn, arrs)`` with
+    ``fn(arrs, dyn, cam_origin, cam_t, fov_params, start) -> (n_px *
+    per_shard, bpp) uint8``."""
+    from ..engine import packing
+
+    cfg, device, _ = wavefront.get_device_scene(scene)
+    n_px = mesh.shape["px"]
+    if per_shard % wavefront.TILE and per_shard > wavefront.TILE:
+        raise ValueError("per_shard must be a multiple of TILE when tiled")
+
+    arrs = {k: np.asarray(v) for k, v in device.items()}
+    del arrs["tri_base"], arrs["sol_base"]
+    # replicate the scene once at build time (cached) — re-uploading the
+    # pool per frame would dominate on the tunneled host link
+    arrs = jax.device_put(
+        arrs, jax.sharding.NamedSharding(mesh, P()))
+    n_tiles = max(1, per_shard // wavefront.TILE)
+    ts = per_shard // n_tiles
+
+    def shard_fn(arrs_l, dyn, cam_origin, cam_t, fov_params, start):
+        arrs_l = dict(arrs_l)
+        arrs_l["tri_base"] = jnp.int32(0)
+        arrs_l["sol_base"] = jnp.int32(cfg.n_tris)
+        fovI, half_w, half_h = fov_params
+        base = start + jax.lax.axis_index("px").astype(jnp.int32) * per_shard
+
+        def tile(t0):
+            idx = t0 + jnp.arange(ts, dtype=jnp.int32)
+            xs = (idx % width).astype(f32)
+            ys = (idx // width).astype(f32)
+            o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h,
+                                xs, ys)
+            colors = ray_colors(arrs_l, cfg, dyn, o, dirs)
+            return packing.pack_device(colors, key)
+
+        starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * ts
+        out = jax.lax.map(tile, starts)
+        return out.reshape(per_shard, -1)
+
+    specs = {k: P() for k in arrs}
+    dyn_spec = dict(ambient=P(), bg1=P(), bg2=P(), bg3=P())
+    in_specs = (specs, dyn_spec, P(), P(), (P(), P(), P()), P())
+    try:
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("px", None), check_vma=False)
+    except TypeError:  # older shard_map API
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("px", None), check_rep=False)
+    return jax.jit(fn), arrs
+
+
+def build_packed_box_renderer(scene, mesh: Mesh, width, per_shard, key):
+    """BoxScene variant of build_packed_renderer."""
+    from ..engine import packing
+
+    n_px = mesh.shape["px"]
+    d = scene.dimension
+    n_tiles = max(1, per_shard // wavefront.TILE)
+    ts = per_shard // n_tiles
+    del n_px
+
+    def shard_fn(cam_origin, cam_t, fov_params, start):
+        fovI, half_w, half_h = fov_params
+        base = start + jax.lax.axis_index("px").astype(jnp.int32) * per_shard
+
+        def tile(t0):
+            idx = t0 + jnp.arange(ts, dtype=jnp.int32)
+            xs = (idx % width).astype(f32)
+            ys = (idx // width).astype(f32)
+            colors = wavefront._box_colors(d, cam_origin, cam_t, fov_params,
+                                           xs, ys)
+            return packing.pack_device(colors, key)
+
+        starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * ts
+        out = jax.lax.map(tile, starts)
+        return out.reshape(per_shard, -1)
+
+    in_specs = (P(), P(), (P(), P(), P()), P())
+    try:
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("px", None), check_vma=False)
+    except TypeError:
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("px", None), check_rep=False)
+    return jax.jit(fn), None
+
+
+def get_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
+    """Cached packed-frame renderer (see get_sharded_renderer for why)."""
+    is_box = not hasattr(scene, "_device_cache")
+    if is_box:
+        cache_src = None
+        cfg = ("box", scene.dimension)
+    else:
+        cfg, _, _ = wavefront.get_device_scene(scene)
+        cache_src = scene._device_cache
+    k = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+         width, per_shard, key, cfg)
+    cache = getattr(scene, "_packed_mesh_cache", None)
+    if cache is None or cache[0] is not cache_src or k not in cache[1]:
+        if cache is None or cache[0] is not cache_src:
+            cache = (cache_src, {})
+            scene._packed_mesh_cache = cache
+        if is_box:
+            cache[1][k] = build_packed_box_renderer(scene, mesh, width,
+                                                    per_shard, key)
+        else:
+            cache[1][k] = build_packed_renderer(scene, mesh, width,
+                                                per_shard, key)
+    return cache[1][k]
+
+
 def render_frame(scene, fmt, mesh: Mesh):
     """Render a full frame sharded over the mesh; returns (H, W, 3) f32."""
     n_px = mesh.shape["px"]
     total = fmt.width * fmt.height
     tile = -(-total // n_px) * n_px
-    fn, arrs = build_sharded_renderer(scene, mesh, tile)
+    fn, arrs = get_sharded_renderer(scene, mesh, tile)
 
     xs, ys = np.meshgrid(np.arange(fmt.width, dtype=np.float32),
                          np.arange(fmt.height, dtype=np.float32))

@@ -447,8 +447,11 @@ def _build(primitives, extra_threads, max_depth, split_threshold,
     def make_branch(axis, split, left, right):
         return KDBranch(axis, split, left, right)
 
+    # extra_threads: parallel native build (kd_node_worker_pool analogue,
+    # tracer.hpp:2131-2271); the NumPy fallback builder is single-threaded
     b_start, b_end, root, grouped = kdtree.build_tree(
-        protos, params, make_leaf, make_branch)
+        protos, params, make_leaf, make_branch,
+        extra_threads=int(extra_threads))
 
     if update_primitives:
         if not isinstance(primitives_arg, list):

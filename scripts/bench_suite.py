@@ -52,6 +52,28 @@ def rotating(nt, scene, camera, cam_distance, frames, fmt, buf, renderer):
     return total / frames
 
 
+def on_device_sec(scene, fmt, frames):
+    """Compute-only frame time: queue dispatches, sync once via a 4-byte
+    reduction pull (block_until_ready does not reliably synchronize
+    through the tunneled backend)."""
+    if args.reference:
+        return None
+    import time as _t
+    import jax.numpy as jnp
+    from ntracer_tpu.engine import wavefront
+
+    def sync(dev):
+        return float(jnp.sum(dev[:64].astype(jnp.int32)))
+
+    sync(wavefront.frame_device_arrays(scene, fmt))
+    t0 = _t.perf_counter()
+    last = None
+    for _ in range(frames):
+        last = wavefront.frame_device_arrays(scene, fmt)
+    sync(last)
+    return (_t.perf_counter() - t0) / frames
+
+
 def box_config(d, w, h, frames):
     nt = NTracer(d)
     scene = nt.BoxScene()
@@ -63,24 +85,31 @@ def box_config(d, w, h, frames):
     buf = bytearray(fmt.pitch * fmt.height)
     r = BlockingRenderer()
     r.render(buf, fmt, scene)  # warmup / compile
-    return rotating(nt, scene, camera, cam_distance, frames, fmt, buf, r)
+    sec = rotating(nt, scene, camera, cam_distance, frames, fmt, buf, r)
+    return sec, on_device_sec(scene, fmt, frames)
 
 
-def report(name, w, h, sec):
-    print(json.dumps({
+def report(name, w, h, sec, dev_sec=None, counters=None):
+    row = {
         "config": name,
         "ms_per_frame": round(sec * 1000, 2),
         "mrays_per_s": round(w * h / sec / 1e6, 3),
-    }), flush=True)
+    }
+    if dev_sec:
+        row["on_device_ms"] = round(dev_sec * 1000, 2)
+        row["on_device_mrays"] = round(w * h / dev_sec / 1e6, 3)
+    if counters:
+        row["counters"] = counters
+    print(json.dumps(row), flush=True)
 
 
 F = args.frames
 
 # 1: 3-D cube, 320x240
-report("3D cube 320x240", 320, 240, box_config(3, 320, 240, F))
+report("3D cube 320x240", 320, 240, *box_config(3, 320, 240, F))
 
 # 2: 4-D tesseract, 640x480 rotating animation
-report("4D tesseract 640x480", 640, 480, box_config(4, 640, 480, F))
+report("4D tesseract 640x480", 640, 480, *box_config(4, 640, 480, F))
 
 # 3: 120-cell {5,3,3} @ 1024^2 (geometry differs per implementation's
 #    own builder — both are ~3240 simplices)
@@ -103,12 +132,15 @@ else:
     buf = bytearray(fmt.pitch * fmt.height)
     r = BlockingRenderer()
     r.render(buf, fmt, scene)
-    report("120-cell 4D 1024x1024", 1024, 1024,
-           rotating(nt, scene, camera, -4.0, F, fmt, buf, r))
+    sec = rotating(nt, scene, camera, -4.0, F, fmt, buf, r)
+    from ntracer_tpu.engine import wavefront
+    report("120-cell 4D 1024x1024", 1024, 1024, sec,
+           on_device_sec(scene, fmt, F),
+           wavefront.frame_stats(scene, 1024, 1024))
 
 # 4: 6-D hypercube slice @ 1024^2
-report("6D hypercube 1024x1024", 1024, 1024, box_config(6, 1024, 1024, F))
+report("6D hypercube 1024x1024", 1024, 1024, *box_config(6, 1024, 1024, F))
 
 # 5: 10-D hypercube @ 1920x1080 (generic var-dimension path)
-report("10D hypercube 1920x1080", 1920, 1080, box_config(10, 1920, 1080,
-                                                         max(F // 2, 2)))
+report("10D hypercube 1920x1080", 1920, 1080,
+       *box_config(10, 1920, 1080, max(F // 2, 2)))

@@ -439,3 +439,34 @@ def test_kd_tree_gen():
             for bound, contained in leaf_boundaries:
                 assert bound.intersects(proto) == (pid_ in contained), \
                     f"leaf containment mismatch (iteration {j})"
+
+
+def test_parallel_kd_build_deterministic():
+    """extra_threads builds must produce the identical tree (the parallel
+    native build flattens in deterministic pre-order)."""
+    import numpy as np
+    from ntracer_tpu.kdnodes import KDBranch, KDLeaf
+    nt = NTracer(3)
+    mat = Material((1, 0.5, 0.5))
+    rng = np.random.RandomState(17)
+    protos = []
+    for _ in range(300):
+        base = rng.uniform(-3, 3, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.5, 0.5, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+
+    def tree_sig(node, out):
+        if node is None:
+            out.append(("none",))
+        elif isinstance(node, KDLeaf):
+            out.append(("leaf", len(node)))
+        else:
+            out.append(("branch", node.axis, node.split))
+            tree_sig(node.left, out)
+            tree_sig(node.right, out)
+        return out
+
+    _, _, r0 = nt.build_kdtree(list(protos), 0)
+    _, _, r4 = nt.build_kdtree(list(protos), 4)
+    assert tree_sig(r0, []) == tree_sig(r4, [])

@@ -193,3 +193,30 @@ def test_sharded_transparency_matches_single():
     single = wavefront.render_strip_composite(scene, fmt, 0, h)
     sharded = pmesh.render_frame(scene, fmt, pmesh.make_mesh(4, 2))
     assert np.abs(single - sharded).max() < 1e-5
+
+
+def test_render_packed_multidevice_matches_single(monkeypatch):
+    """BlockingRenderer routes through the px mesh when several devices
+    exist (VERDICT r1 item 4); bytes must match the single-device path."""
+    import jax
+    from ntracer_tpu.engine import wavefront
+    from ntracer_tpu.render import ImageFormat, Channel, BlockingRenderer
+
+    real = jax.devices()
+    if len(real) < 2:
+        pytest.skip("single device")
+
+    fmt = ImageFormat(64, 48, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                               Channel(8, 0, 0, 1)])
+    r = BlockingRenderer()
+
+    for scene in (_random_scene(NTracer(3), n=24, seed=4),
+                  NTracer(4).BoxScene()):
+        multi = bytearray(fmt.pitch * fmt.height)
+        assert r.render(multi, fmt, scene)
+
+        single = bytearray(fmt.pitch * fmt.height)
+        monkeypatch.setattr(jax, "devices", lambda *a, **k: real[:1])
+        assert r.render(single, fmt, scene)
+        monkeypatch.undo()
+        assert bytes(multi) == bytes(single)

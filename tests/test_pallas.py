@@ -70,3 +70,172 @@ def test_occluded_matches_xla_path():
     kb = pk.occluded(kern, o, dirs, ldist, skip, cfg.d)
     jb, _ = wavefront.occlusion(device, cfg, o, dirs, ldist, skip)
     assert np.array_equal(np.asarray(kb), np.asarray(jb))
+
+
+# ---------------------------------------------------------------------------
+# resident-pool traversal kernels (resident_kernels.py)
+# ---------------------------------------------------------------------------
+
+from ntracer_tpu.engine import resident_kernels as rk
+
+
+def _scene_big(n=1200, seed=7):
+    """Several chunks' worth of triangles."""
+    nt = NTracer(3)
+    mat = Material((1, 0.5, 0.5))
+    rng = np.random.RandomState(seed)
+    protos = []
+    for _ in range(n):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.6, 0.6, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector.axis(2, -8))
+    scene.set_camera(cam)
+    return scene
+
+
+def _res_and_rays(scene, n):
+    cfg, device, flat = wavefront.get_device_scene(scene)
+    arrs = {k: np.asarray(v) for k, v in device.items()}
+    res = rk.prepare_resident(
+        arrs["tri_p1"], arrs["tri_fn"], arrs["tri_en"], arrs["tri_dc"],
+        flat.arrays["tri_lo"], flat.arrays["tri_hi"], cfg.d)
+    res = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+           for k, v in res.items()}
+    side = 32
+    idx = np.arange(n)
+    xs = jnp.asarray((idx % side).astype(np.float32))
+    ys = jnp.asarray(((idx // side) % side).astype(np.float32))
+    scene._set_view_size(side, side)
+    fov = wavefront._fov_params(side, side, scene.fov)
+    o, dirs = wavefront.make_rays(jnp.asarray(scene._cam._origin),
+                                  jnp.asarray(scene._cam._t), *fov, xs, ys)
+    return cfg, device, res, o, dirs
+
+
+def test_resident_nearest_matches_xla_path():
+    scene = _scene_big()
+    n = rk.RAY_BLOCK * 2
+    cfg, device, res, o, dirs = _res_and_rays(scene, n)
+    skip = jnp.full((n,), -1, jnp.int32)
+
+    ref = wavefront.trace_pool(device, cfg, o, dirs, skip)
+    jid = np.asarray(ref["pid"])
+    m = jid >= 0
+    assert m.sum() > 100 and res["gt"].shape[0] >= 3
+
+    # pool order
+    kt, kid, counts = rk.nearest_hit(res, o, dirs, skip, cfg.d)
+    kid = np.asarray(kid)
+    assert np.array_equal(kid >= 0, m)
+    assert (kid[m] == jid[m]).all()
+    np.testing.assert_allclose(np.asarray(kt)[m], np.asarray(ref["t"])[m],
+                               rtol=1e-6)
+
+    # front-to-back order with early-exit bound (shared origin)
+    order, dmin = rk.chunk_order(res["klo"], res["khi"],
+                                 jnp.asarray(scene._cam._origin, jnp.float32))
+    kt2, kid2, counts2 = rk.nearest_hit(res, o, dirs, skip, cfg.d,
+                                        order=order, dmin=dmin)
+    kid2 = np.asarray(kid2)
+    assert np.array_equal(kid2 >= 0, m)
+    assert (kid2[m] == jid[m]).all()
+
+    # compaction: half the rays inactive, sorted live-first by the caller
+    active = np.zeros(n, bool)
+    active[: rk.RAY_BLOCK] = True
+    kt3, kid3, counts3 = rk.nearest_hit(res, o, dirs, skip, cfg.d,
+                                        active=jnp.asarray(active))
+    kid3 = np.asarray(kid3)
+    assert (kid3[~active] == -1).all()
+    assert (kid3[active & m] == jid[active & m]).all()
+    # the dead trailing block exits its walk immediately
+    assert int(np.asarray(counts3)[1]) == 0
+
+
+def test_resident_occlusion_matches_xla_path():
+    scene = _scene_big()
+    n = rk.RAY_BLOCK
+    cfg, device, res, o, dirs = _res_and_rays(scene, n)
+    skip = jnp.full((n,), -1, jnp.int32)
+
+    ref = wavefront.trace_pool(device, cfg, o, dirs, skip)
+    m = np.asarray(ref["pid"]) >= 0
+    point = jnp.asarray(np.asarray(ref["point"]))
+    ld = jnp.asarray(np.where(m, 6.0, 0.0).astype(np.float32))
+    up = jnp.asarray(np.tile(np.array([[0, 1, 0]], np.float32), (n, 1)))
+
+    blocked, counts = rk.occluded(res, point, up, ld, ref["pid"], cfg.d)
+    jb, _ = wavefront.occlusion(device, cfg, point, up, ld, ref["pid"])
+    assert np.array_equal(np.asarray(blocked) & m, np.asarray(jb) & m)
+
+
+def test_engine_resident_path_matches_oracle(monkeypatch):
+    """Full engine (render_strip_composite) through the resident kernels in
+    interpreter mode, vs the scalar oracle — shadows + reflections exercise
+    occlusion compaction and bounce-ray compaction."""
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    nt = NTracer(3)
+    mat = Material((1, 0.6, 0.4), reflectivity=0.3)
+    rng = np.random.RandomState(9)
+    protos = []
+    for _ in range(30):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.8, 0.8, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector.axis(2, -8))
+    scene.set_camera(cam)
+    scene.add_light(nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)))
+    scene.set_shadows(True)
+
+    cfg, device, _ = wavefront.get_device_scene(scene)
+    assert "res_gt" in device  # resident path actually selected
+
+    class _Fmt:
+        width = height = 24
+
+    w = h = 24
+    scene._set_view_size(w, h)
+    eng = wavefront.render_strip_composite(scene, _Fmt(), 0, h)
+    rng = np.random.RandomState(1)
+    worst = 0.0
+    for _ in range(25):
+        x, y = int(rng.randint(w)), int(rng.randint(h))
+        oc = scene._pixel_color(x, y)
+        worst = max(worst, float(np.abs(oc - eng[y, x]).max()))
+    assert worst < 5e-5, f"worst resident-engine-vs-oracle diff {worst}"
+
+
+def test_ray_colors_stats(monkeypatch):
+    """with_stats returns instrumentation counters (VERDICT r1 item 2)."""
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    import jax
+    scene = _scene_big(n=300)
+    scene.add_light(NTracer(3).PointLight(
+        NTracer(3).Vector(0, 4, -4), (1, 0.8, 0.6)))
+    scene.set_shadows(True)
+    cfg, device, _ = wavefront.get_device_scene(scene)
+    n = rk.RAY_BLOCK
+    side = 32
+    idx = np.arange(n)
+    xs = jnp.asarray((idx % side).astype(np.float32))
+    ys = jnp.asarray(((idx // side) % side).astype(np.float32))
+    scene._set_view_size(side, side)
+    fov = wavefront._fov_params(side, side, scene.fov)
+    o, dirs = wavefront.make_rays(jnp.asarray(scene._cam._origin),
+                                  jnp.asarray(scene._cam._t), *fov, xs, ys)
+    dyn = wavefront._scene_dyn(scene)
+    colors, stats = wavefront.ray_colors(device, cfg, dyn, o, dirs,
+                                         with_stats=True)
+    stats = {k: int(v) for k, v in stats.items()}
+    assert stats["rays_traced"] == n
+    # the primary trace uses the streaming kernel (no chunk counter); the
+    # shadow stage goes through the counting resident kernel
+    assert 0 < stats["shadow_rays"] <= n
+    assert stats["occl_chunks_visited"] >= 1
