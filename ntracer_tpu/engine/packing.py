@@ -53,8 +53,33 @@ def pack_device(colors, key):
             ival = jax.lax.bitcast_convert_type(val, jnp.uint32)
         else:
             scale = np.float32(0xFFFFFFFF >> (32 - bit_size))
-            # lround for non-negative values == floor(x + 0.5)
-            ival = jnp.floor(val * scale + 0.5).astype(jnp.uint32)
+            p = val * scale
+            if bit_size <= 23:
+                # exact lround(double(val) * scale): recover the f32
+                # multiply's rounding error with a Dekker two-product
+                # (no FMA on this path) and nudge ties across the
+                # boundary.  q = p + 0.5 and its floor are exact because
+                # p < 2^23.
+                split = np.float32((1 << 12) + 1)
+                ca = split * val
+                vhi = ca - (ca - val)
+                vlo = val - vhi
+                cb = split * scale
+                shi = cb - (cb - scale)
+                slo = scale - shi
+                err = (((vhi * shi - p) + vhi * slo + vlo * shi)
+                       + vlo * slo)
+                q = p + np.float32(0.5)
+                i0 = jnp.floor(q)
+                frac = (q - i0) + err
+                i0 = i0 + (frac >= 1).astype(jnp.float32) \
+                    - (frac < 0).astype(jnp.float32)
+                ival = i0.astype(jnp.uint32)
+            else:
+                # >23-bit channels: the scale product exceeds the float32
+                # significand; documented deviation vs the reference's
+                # double math (neighbouring codes only)
+                ival = jnp.floor(p + 0.5).astype(jnp.uint32)
         o = off // 32
         rm = off % 32
         s = 32 - rm - bit_size

@@ -129,6 +129,18 @@ def prepare_resident(tri_p1, tri_fn, tri_en, tri_dc, tri_lo, tri_hi, d,
                 base_order=base_order)
 
 
+def add_opacity(res, tri_opacity, ck: int = CK):
+    """Attach a per-slot opacity row (transparent-pool kernels); padding
+    slots get opacity 1 (their zero face normal already kills hits)."""
+    ids = res["ids"][:, 0, :]
+    safe = np.clip(ids, 0, len(tri_opacity) - 1)
+    opa = np.ones_like(res["ci"][:, :1, :])
+    opa = np.ones((ids.shape[0], C_PAD, ck), np.float32)
+    opa[:, 0, :] = np.where(ids >= 0, tri_opacity[safe], 1.0)
+    res["opa"] = opa
+    return res
+
+
 def prepare_resident_cells(treelets, tri_p1, tri_fn, tri_en, tri_dc,
                            tri_lo, tri_hi, d, ck: int = CK):
     """Resident layouts from k-d treelets (see flatten.kd_treelets): one
@@ -533,3 +545,234 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
     )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
       res["gt"], res["ci"], res["ids"], res["klo"], res["khi"])
     return out[:, 0] != 0, counts[::RAY_BLOCK, 0]
+
+
+# ---------------------------------------------------------------------------
+# Transparent pools: nearest-opaque + K-nearest-transparent in scratch
+# (the reference handles transparency in the same hot loop,
+# tracer.hpp:858-913; the K slots replace its unbounded quick_list)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_t_kernel(d, ck, K, o_ref, dir_ref, skip_ref, init_t_ref,
+                      order_ref, dmin_ref, neff_ref, gt_ref, ci_ref, ids_ref,
+                      opa_ref, klo_ref, khi_ref, out_t_ref, out_id_ref,
+                      out_tt_ref, out_tid_ref, count_ref,
+                      best_t, best_id, tt, tid):
+    o8 = o_ref[:]
+    d8 = dir_ref[:]
+    o_d = o8[:, :d]
+    d_d = d8[:, :d]
+    skip = skip_ref[:]
+
+    best_t[:] = init_t_ref[:]
+    best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    tt[:] = jnp.full((RAY_BLOCK, K), INF, f32)
+    tid[:] = jnp.full((RAY_BLOCK, K), -1, jnp.int32)
+    n_eff = neff_ref[0]
+    lanesK = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, K), 1)
+
+    def body(state):
+        k, _, visited = state
+        idx = order_ref[k]
+        entry = _entry(o_d, d_d, klo_ref[idx], khi_ref[idx])
+        pred = jnp.any(entry < best_t[:])
+
+        @pl.when(pred)
+        def _():
+            t, valid = _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx,
+                                   o8, d8, skip)
+            op = opa_ref[idx][0:1, :]
+            opaq = op >= 1.0
+
+            tm = jnp.where(valid & opaq, t, INF)
+            ct = jnp.min(tm, axis=1, keepdims=True)
+            carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
+            upd = ct < best_t[:]
+            best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
+            best_t[:] = jnp.where(upd, ct, best_t[:])
+
+            # K-nearest transparent slots: extract the chunk minimum K
+            # times, each time replacing the buffer maximum if nearer
+            tmt = jnp.where(valid & jnp.logical_not(opaq), t, INF)
+            for _s in range(K):
+                st = jnp.min(tmt, axis=1, keepdims=True)
+                sarg = jnp.argmin(tmt, axis=1).astype(jnp.int32)[:, None]
+                lane = jax.lax.broadcasted_iota(jnp.int32,
+                                                (RAY_BLOCK, ck), 1)
+                tmt = jnp.where(lane == sarg, INF, tmt)
+                bmax = jnp.max(tt[:], axis=1, keepdims=True)
+                barg = jnp.argmax(tt[:], axis=1).astype(jnp.int32)[:, None]
+                put = (st < bmax) & (lanesK == barg)
+                tid[:] = jnp.where(put, idx * ck + sarg, tid[:])
+                tt[:] = jnp.where(put, st, tt[:])
+
+        visited = visited + pred.astype(jnp.int32)
+        k = k + 1
+        kc = jnp.minimum(k, order_ref.shape[0] - 1)
+        go = (k < n_eff) & (jnp.max(best_t[:]) > dmin_ref[kc])
+        return k, go, visited
+
+    go0 = (n_eff > 0) & (jnp.max(best_t[:]) > dmin_ref[0])
+    _, _, visited = jax.lax.while_loop(
+        lambda s: s[1], body, (jnp.int32(0), go0, jnp.int32(0)))
+    out_t_ref[:] = best_t[:]
+    out_id_ref[:] = best_id[:]
+    out_tt_ref[:] = tt[:]
+    out_tid_ref[:] = tid[:]
+    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("d", "K"))
+def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
+                            active=None):
+    """Nearest opaque hit + the K nearest transparent hits.  Returns
+    (t, slot_gid, tt (R,K) ascending-unsorted, tid_gid (R,K), visited)."""
+    R = o.shape[0]
+    nc, pr, ck = res["gt"].shape
+    ni = R // RAY_BLOCK
+    if order is None:
+        order = res["base_order"]
+        dmin = jnp.zeros((nc,), f32)
+    init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
+    if active is not None:
+        init_t = jnp.where(active, init_t, 0.0)
+    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
+    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                                      memory_space=pltpu.VMEM)
+    out_t, out_id, out_tt, out_tid, counts = pl.pallas_call(
+        partial(_nearest_t_kernel, d, ck, K),
+        grid=(ni,),
+        interpret=_interpret(),
+        in_specs=[
+            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
+            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full((nc, pr, ck)), full((nc, C_PAD, ck)),
+            full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
+            full((nc, d)), full((nc, d)),
+        ],
+        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+                   blk((RAY_BLOCK, K)), blk((RAY_BLOCK, K)),
+                   blk((RAY_BLOCK, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, K), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+            pltpu.VMEM((RAY_BLOCK, K), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, K), jnp.int32),
+        ],
+    )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
+      res["gt"], res["ci"], res["ids"], res["opa"], res["klo"], res["khi"])
+
+    slot_ids = res["ids"][:, 0, :].reshape(-1)
+    slot = out_id[:, 0]
+    gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
+    tgid = jnp.where(out_tid >= 0, slot_ids[jnp.clip(out_tid, 0, None)], -1)
+    return out_t[:, 0], gid, out_tt, tgid, counts[::RAY_BLOCK, 0]
+
+
+def _occl_t_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                   order_ref, neff_ref, gt_ref, ci_ref, ids_ref, opa_ref,
+                   klo_ref, khi_ref, out_ref, filt_ref, count_ref,
+                   blocked, filt):
+    o8 = o_ref[:]
+    d8 = dir_ref[:]
+    o_d = o8[:, :d]
+    d_d = d8[:, :d]
+    skip = skip_ref[:]
+    ldist = ldist_ref[:]
+
+    blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
+    n_eff = neff_ref[0]
+
+    def body(state):
+        k, _, visited = state
+        idx = order_ref[k]
+        entry = _entry(o_d, d_d, klo_ref[idx], khi_ref[idx])
+        pred = jnp.any((blocked[:] == 0) & (entry < ldist))
+
+        @pl.when(pred)
+        def _():
+            t, valid = _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx,
+                                   o8, d8, skip)
+            valid &= t < ldist
+            op = opa_ref[idx][0:1, :]
+            opaq = op >= 1.0
+            hit = jnp.any(valid & opaq, axis=1, keepdims=True)
+            blocked[:] = jnp.where(hit, 1, blocked[:])
+            tr = valid & jnp.logical_not(opaq)
+            filt[:] = filt[:] * jnp.prod(
+                jnp.where(tr, 1.0 - op, 1.0), axis=1, keepdims=True)
+
+        visited = visited + pred.astype(jnp.int32)
+        k = k + 1
+        go = (k < n_eff) & jnp.any((blocked[:] == 0) & (ldist > 0))
+        return k, go, visited
+
+    go0 = (n_eff > 0) & jnp.any(ldist > 0)
+    _, _, visited = jax.lax.while_loop(
+        lambda s: s[1], body, (jnp.int32(0), go0, jnp.int32(0)))
+    out_ref[:] = blocked[:]
+    filt_ref[:] = filt[:]
+    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("d",))
+def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
+    """Any-opaque-hit + transparency filter product within distance.
+    Returns (blocked (R,), filt (R,), visited)."""
+    R = o.shape[0]
+    nc, pr, ck = res["gt"].shape
+    ni = R // RAY_BLOCK
+    if order is None:
+        order = res["base_order"]
+    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
+    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                                      memory_space=pltpu.VMEM)
+    out, filt, counts = pl.pallas_call(
+        partial(_occl_t_kernel, d, ck),
+        grid=(ni,),
+        interpret=_interpret(),
+        in_specs=[
+            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
+            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full((nc, pr, ck)), full((nc, C_PAD, ck)),
+            full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
+            full((nc, d)), full((nc, d)),
+        ],
+        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+                   blk((RAY_BLOCK, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+        ],
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
+      res["gt"], res["ci"], res["ids"], res["opa"], res["klo"], res["khi"])
+    return out[:, 0] != 0, filt[:, 0], counts[::RAY_BLOCK, 0]

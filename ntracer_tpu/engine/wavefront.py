@@ -181,6 +181,14 @@ def _kernel2_ok(arrs, cfg, R):
         and R % rk.RAY_BLOCK == 0
 
 
+def _kernel2t_ok(arrs, cfg, R):
+    """Transparent-pool variant of the resident kernels (K transparent
+    slots in scratch, tracer.hpp:858-913 semantics)."""
+    from . import resident_kernels as rk
+    return "res_opa" in arrs and cfg.has_transparency \
+        and R % rk.RAY_BLOCK == 0
+
+
 def _res_dict(arrs):
     return dict(gt=arrs["res_gt"], ci=arrs["res_ci"], ids=arrs["res_ids"],
                 klo=arrs["res_klo"], khi=arrs["res_khi"],
@@ -207,6 +215,33 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
     R = o.shape[0]
     d = cfg.d
     K = cfg.max_transparent_hits if cfg.has_transparency else 0
+
+    if _kernel2t_ok(arrs, cfg, R):
+        from . import resident_kernels as rk
+        res_k = _res_dict(arrs)
+        res_k["opa"] = arrs["res_opa"]
+        skip_local = skip - arrs["tri_base"]
+        if shared_origin is not None:
+            order, dmin = rk.chunk_order(res_k["klo"], res_k["khi"],
+                                         shared_origin)
+        else:
+            order = dmin = None
+        kt, kid, ktt, ktid, vis = rk.nearest_hit_transparent(
+            res_k, o, dirs, skip_local, d, K, order=order, dmin=dmin,
+            active=active)
+        _stat(stats, "rays_traced",
+              R if active is None else jnp.sum(active.astype(jnp.int32)))
+        _stat(stats, "chunks_visited", jnp.sum(vis))
+        sortidx = jnp.argsort(ktt, axis=1)
+        carry = dict(
+            t=jnp.where(kid >= 0, kt, REAL_MAX),
+            pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
+            tt=jnp.take_along_axis(ktt, sortidx, axis=1),
+            tid=jnp.take_along_axis(
+                jnp.where(ktid >= 0, ktid + arrs["tri_base"], -1),
+                sortidx, axis=1),
+        )
+        return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
 
     # kernel choice (measured on the 120-cell, v5e): the HBM-streaming grid
     # kernel has the lowest per-triangle cost and wins when every ray is
@@ -503,18 +538,25 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None):
     R = o.shape[0]
     d = cfg.d
 
-    if _kernel2_ok(arrs, cfg, R):
+    if _kernel2_ok(arrs, cfg, R) or _kernel2t_ok(arrs, cfg, R):
         from . import resident_kernels as rk
         res_k = _res_dict(arrs)
         skip_local = skip - arrs["tri_base"]
         live = ldist > 0
         perm = jnp.argsort(jnp.where(live, 0, 1))
         inv = jnp.argsort(perm)
-        blk, vis = rk.occluded(res_k, o[perm], dirs[perm], ldist[perm],
-                               skip_local[perm], d)
+        if cfg.has_transparency:
+            res_k["opa"] = arrs["res_opa"]
+            blk, flt, vis = rk.occluded_transparent(
+                res_k, o[perm], dirs[perm], ldist[perm], skip_local[perm], d)
+            flt = flt[inv]
+        else:
+            blk, vis = rk.occluded(res_k, o[perm], dirs[perm], ldist[perm],
+                                   skip_local[perm], d)
+            flt = jnp.ones((R,), f32)
         _stat(stats, "shadow_rays", jnp.sum(live.astype(jnp.int32)))
         _stat(stats, "occl_chunks_visited", jnp.sum(vis))
-        carry = dict(blocked=blk[inv], filt=jnp.ones((R,), f32))
+        carry = dict(blocked=blk[inv], filt=flt)
         return _occlusion_finish(arrs, cfg, o, dirs, ldist, skip, carry)
 
     if _kernel_ok(arrs, cfg, R):
@@ -1175,7 +1217,7 @@ def get_device_scene(scene):
         import os as _os
         want_kernels = (jax.default_backend() == "tpu"
                         or _os.environ.get("NTRACER_FORCE_KERNELS"))
-        if want_kernels and not flat.config.has_transparency:
+        if want_kernels:
             from . import resident_kernels as rk
             res = None
             if d <= rk.C_PAD:
@@ -1193,6 +1235,9 @@ def get_device_scene(scene):
                         arrs["tri_en"], arrs["tri_dc"], arrs["cull_lo"],
                         arrs["cull_hi"], d)
             if res is not None:
+                if flat.config.has_transparency:
+                    rk.add_opacity(res, arrs["tri_opacity"])
+                    arrs["res_opa"] = res["opa"]
                 arrs["res_gt"] = res["gt"]
                 arrs["res_ci"] = res["ci"]
                 arrs["res_ids"] = res["ids"]
@@ -1202,21 +1247,23 @@ def get_device_scene(scene):
                 arrs["res_bhi"] = res["b_hi"]
                 arrs["res_order"] = res["base_order"]
                 arrs["res_neff"] = res["n_eff"]
-            # HBM-streaming grid kernel: measured fastest for the primary
-            # (all-rays-active) trace; the resident kernel handles
-            # compacted secondary work and oversized pools' fallback is
-            # the chunked XLA scan
+            # HBM-streaming grid kernel (opaque pools only): measured
+            # fastest for the primary (all-rays-active) trace; the
+            # resident kernel handles compacted secondary work and
+            # oversized pools fall back to the chunked XLA scan
             from . import pallas_kernels as pk
-            kern = pk.prepare_tri_arrays(
+            kern = None if flat.config.has_transparency \
+                else pk.prepare_tri_arrays(
                 arrs["tri_p1"], arrs["tri_fn"], arrs["tri_en"],
                 arrs["tri_dc"], arrs["cull_lo"], arrs["cull_hi"], d)
-            arrs["kern_gt"] = kern["gt"]
-            arrs["kern_ci"] = kern["ci"]
-            arrs["kern_klo"] = kern["k_lo"]
-            arrs["kern_khi"] = kern["k_hi"]
-            arrs["kern_kany"] = kern["k_any"]
-            arrs["kern_blo"] = kern["b_lo"]
-            arrs["kern_bhi"] = kern["b_hi"]
+            if kern is not None:
+                arrs["kern_gt"] = kern["gt"]
+                arrs["kern_ci"] = kern["ci"]
+                arrs["kern_klo"] = kern["k_lo"]
+                arrs["kern_khi"] = kern["k_hi"]
+                arrs["kern_kany"] = kern["k_any"]
+                arrs["kern_blo"] = kern["b_lo"]
+                arrs["kern_bhi"] = kern["b_hi"]
         device = {k: jnp.asarray(v) for k, v in arrs.items()
                   if k not in ("tri_lo", "tri_hi", "cull_lo", "cull_hi")}
         scene._device_cache = (flat.config, device, flat)

@@ -52,6 +52,46 @@ def rotating(nt, scene, camera, cam_distance, frames, fmt, buf, renderer):
     return total / frames
 
 
+def pipelined_sec(nt, scene, camera, cam_distance, frames, fmt):
+    """Cross-frame pipelining: dispatch frame N+1's compute before pulling
+    frame N's bytes, so device compute overlaps the host-link transfer
+    (VERDICT r1 item 10).  The reference's CallbackRenderer gets the same
+    overlap from its worker threads."""
+    if args.reference:
+        return None
+    import time as _t
+    import numpy as np
+    from ntracer_tpu.engine import wavefront
+
+    incr = 2 * math.pi / frames
+    hh = 1 / math.sqrt(nt.dimension - 1)
+
+    def advance():
+        a2 = camera.axes[0] * hh + camera.axes[1] * hh
+        for i in range(nt.dimension - 3):
+            a2 = a2 + camera.axes[i + 3] * hh
+        camera.transform(nt.Matrix.rotation(camera.axes[2], a2, incr))
+        camera.normalize()
+        camera.origin = camera.axes[2] * cam_distance
+        scene.set_camera(camera)
+
+    out = np.empty((fmt.width * fmt.height * fmt.bytes_per_pixel,), np.uint8)
+    dev = wavefront.frame_device_arrays(scene, fmt)  # warm/compile
+    np.asarray(dev)
+    t0 = _t.perf_counter()
+    prev = None
+    for _ in range(frames):
+        dev = wavefront.frame_device_arrays(scene, fmt)   # dispatch N
+        if prev is not None:
+            data = np.asarray(prev)                       # pull N-1
+            out[:] = data.reshape(-1)[: out.size]
+        prev = dev
+        advance()
+    data = np.asarray(prev)
+    sec = (_t.perf_counter() - t0) / frames
+    return sec
+
+
 def on_device_sec(scene, fmt, frames):
     """Compute-only frame time: queue dispatches, sync once via a 4-byte
     reduction pull (block_until_ready does not reliably synchronize
@@ -86,10 +126,12 @@ def box_config(d, w, h, frames):
     r = BlockingRenderer()
     r.render(buf, fmt, scene)  # warmup / compile
     sec = rotating(nt, scene, camera, cam_distance, frames, fmt, buf, r)
-    return sec, on_device_sec(scene, fmt, frames)
+    dev = on_device_sec(scene, fmt, frames)
+    pipe = pipelined_sec(nt, scene, camera, cam_distance, frames, fmt)
+    return sec, dev, None, pipe
 
 
-def report(name, w, h, sec, dev_sec=None, counters=None):
+def report(name, w, h, sec, dev_sec=None, counters=None, pipe_sec=None):
     row = {
         "config": name,
         "ms_per_frame": round(sec * 1000, 2),
@@ -98,6 +140,9 @@ def report(name, w, h, sec, dev_sec=None, counters=None):
     if dev_sec:
         row["on_device_ms"] = round(dev_sec * 1000, 2)
         row["on_device_mrays"] = round(w * h / dev_sec / 1e6, 3)
+    if pipe_sec:
+        row["pipelined_ms"] = round(pipe_sec * 1000, 2)
+        row["pipelined_mrays"] = round(w * h / pipe_sec / 1e6, 3)
     if counters:
         row["counters"] = counters
     print(json.dumps(row), flush=True)
@@ -136,7 +181,8 @@ else:
     from ntracer_tpu.engine import wavefront
     report("120-cell 4D 1024x1024", 1024, 1024, sec,
            on_device_sec(scene, fmt, F),
-           wavefront.frame_stats(scene, 1024, 1024))
+           wavefront.frame_stats(scene, 1024, 1024),
+           pipelined_sec(nt, scene, camera, -4.0, F, fmt))
 
 # 4: 6-D hypercube slice @ 1024^2
 report("6D hypercube 1024x1024", 1024, 1024, *box_config(6, 1024, 1024, F))

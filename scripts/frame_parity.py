@@ -89,12 +89,21 @@ def render_ref(spec, ref_path):
         np.savez(spec_path, **spec)
         env = dict(os.environ, PYTHONPATH=ref_path)
         env.pop("JAX_PLATFORMS", None)
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts/_ref_render.py"),
              spec_path, out_path],
-            env=env, check=True, capture_output=True)
+            env=env, capture_output=True)
         w, h = int(spec["width"]), int(spec["height"])
-        return np.fromfile(out_path, np.uint8).reshape(h, w, 3)
+        data = (np.fromfile(out_path, np.uint8)
+                if os.path.exists(out_path) else np.zeros(0, np.uint8))
+        if data.size != w * h * 3:
+            # a short/absent file is a real failure; a bad exit code alone
+            # is not (the C++ extension can segfault at interpreter
+            # teardown on large scenes, after the frame is fully written)
+            raise RuntimeError(
+                f"reference render failed: rc={proc.returncode} "
+                f"{proc.stderr.decode()[-500:]}")
+        return data.reshape(h, w, 3)
 
 
 def compare(name, ours, ref):

