@@ -285,11 +285,16 @@ def _entry(o_d, d_d, lo, hi):
 
 
 def _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx, o8, d8, skip):
+    """Ray-block x chunk intersection against VMEM-resident pool refs."""
+    return _chunk_hits_vals(d, ck, gt_ref[idx], ci_ref[idx],
+                            ids_ref[idx][0:1, :], o8, d8, skip)
+
+
+def _chunk_hits_vals(d, ck, g, ci, idrow, o8, d8, skip):
     """Ray-block x chunk intersection (tracer.hpp:411-440 vectorized).
     Returns (t, valid): (RAY_BLOCK, ck).  Plane dots accumulate coordinate
-    by coordinate on the VPU — the same order as the scalar oracle."""
-    g = gt_ref[idx]                                   # (pad8(d*d), ck)
-    ci = ci_ref[idx]                                  # (8, ck)
+    by coordinate on the VPU — the same order as the scalar oracle.
+    ``g`` (pad8(d*d), ck), ``ci`` (8, ck), ``idrow`` (1, ck)."""
 
     def dots(p):
         accO = jnp.zeros((RAY_BLOCK, ck), f32)
@@ -313,7 +318,7 @@ def _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx, o8, d8, skip):
 
     # pool ids per slot: skip tests use dedup'd GLOBAL ids so a primitive
     # duplicated across cells behaves as one (self-hit skip still works)
-    valid &= ids_ref[idx][0:1, :] != skip             # (1, ck) vs (R, 1)
+    valid &= idrow != skip                            # (1, ck) vs (R, 1)
     return t, valid
 
 
@@ -776,3 +781,339 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
       res["gt"], res["ci"], res["ids"], res["opa"], res["klo"], res["khi"])
     return out[:, 0] != 0, filt[:, 0], counts[::RAY_BLOCK, 0]
+
+
+# ---------------------------------------------------------------------------
+# HBM-resident pools (beyond the VMEM budget): the same front-to-back walk,
+# but each VISITED chunk is DMA'd HBM->VMEM through a double buffer inside
+# the kernel — skipped chunks cost neither DMA nor compute (the streaming
+# grid kernel by contrast fetches every chunk for every ray block).  This
+# is SURVEY §5's "node arrays streamed HBM->VMEM" scaling axis.
+# ---------------------------------------------------------------------------
+
+HBM_CK = 512   # bigger chunks amortize the per-DMA latency
+
+
+def _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
+               idx, slot):
+    pltpu.make_async_copy(gt_hbm.at[idx], gt_buf.at[slot],
+                          sems.at[slot, 0]).start()
+    pltpu.make_async_copy(ci_hbm.at[idx], ci_buf.at[slot],
+                          sems.at[slot, 1]).start()
+    pltpu.make_async_copy(ids_hbm.at[idx], ids_buf.at[slot],
+                          sems.at[slot, 2]).start()
+
+
+def _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems, slot):
+    # recreate-and-wait: the wait only needs the transfer size
+    pltpu.make_async_copy(gt_hbm.at[0], gt_buf.at[slot],
+                          sems.at[slot, 0]).wait()
+    pltpu.make_async_copy(ci_hbm.at[0], ci_buf.at[slot],
+                          sems.at[slot, 1]).wait()
+    pltpu.make_async_copy(ids_hbm.at[0], ids_buf.at[slot],
+                          sems.at[slot, 2]).wait()
+
+
+
+
+def _order_boxes(res, order, d):
+    """Chunk boxes permuted into visit order and transposed to
+    (C_PAD, ncp) for the kernel's vectorized all-chunks entry test.
+    Padding positions get inverted boxes (entry INF)."""
+    nc = res["klo"].shape[0]
+    ncp = -(-nc // 128) * 128
+    klo = res["klo"][order].T               # (d, nc)
+    khi = res["khi"][order].T
+    klo_t = jnp.full((C_PAD, ncp), BIG, f32).at[:d, :nc].set(klo)
+    khi_t = jnp.full((C_PAD, ncp), -BIG, f32).at[:d, :nc].set(khi)
+    return klo_t, khi_t
+
+
+def _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref):
+    """Minimum-over-rays slab entry for EVERY chunk position, one
+    vectorized pass: (1, ncp) with INF for missed/padding chunks.  This
+    replaces a serial per-position scan (O(nc) heavy tests per ray block)
+    with a single precompute + cheap masked reduces."""
+    ncp = klo_t_ref.shape[1]
+    tn = jnp.full((RAY_BLOCK, ncp), -BIG, f32)
+    tf = jnp.full((RAY_BLOCK, ncp), BIG, f32)
+    for c in range(d):
+        lo = klo_t_ref[c][None, :]
+        hi = khi_t_ref[c][None, :]
+        oc = o8[:, c:c + 1]
+        dc = d8[:, c:c + 1]
+        par = dc == 0
+        inv = jnp.where(par, 0.0, 1.0 / jnp.where(par, 1.0, dc))
+        a = (lo - oc) * inv
+        b = (hi - oc) * inv
+        ins = (oc >= lo) & (oc <= hi)
+        t0 = jnp.where(par, jnp.where(ins, -BIG, BIG), jnp.minimum(a, b))
+        t1 = jnp.where(par, jnp.where(ins, BIG, -BIG), jnp.maximum(a, b))
+        tn = jnp.maximum(tn, t0)
+        tf = jnp.minimum(tf, t1)
+    entry = jnp.maximum(tn, 0.0)
+    ok = (tf >= entry) & (tf >= 0)
+    return jnp.min(jnp.where(ok, entry, INF), axis=0, keepdims=True)
+
+
+BIG_POS = np.int32(1 << 30)
+
+
+def _nearest_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, init_t_ref,
+                        order_ref, dmin_ref, neff_ref, klo_t_ref, khi_t_ref,
+                        gt_hbm, ci_hbm, ids_hbm, klo_ref, khi_ref,
+                        out_t_ref, out_id_ref,
+                        count_ref, best_t, best_id, gt_buf, ci_buf, ids_buf,
+                        sems):
+    o8 = o_ref[:]
+    d8 = dir_ref[:]
+    skip = skip_ref[:]
+
+    best_t[:] = init_t_ref[:]
+    best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    n_eff = neff_ref[0]
+    nc_max = order_ref.shape[0] - 1
+
+    # conservative per-chunk candidacy: min-over-rays entry, in ORDER space
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
+    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+
+    def find_next(k0):
+        """First position >= k0 any ray might still need (single masked
+        reduce; chunks whose min entry beats every ray's best are pruned
+        when the chunk is actually reached)."""
+        cand = (emin < jnp.max(best_t[:])) & (posi >= k0) & (posi < n_eff)
+        return jnp.min(jnp.where(cand, posi, BIG_POS))
+
+    def found(k):
+        kc = jnp.minimum(k, nc_max)
+        return (k < n_eff) & (jnp.max(best_t[:]) > dmin_ref[kc])
+
+    k0 = find_next(jnp.int32(0))
+    go0 = found(k0)
+
+    @pl.when(go0)
+    def _():
+        _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
+                   order_ref[k0], jnp.int32(0))
+
+    def body(state):
+        cur, slot, _, visited = state
+        # prefetch the next needed chunk while the current one computes;
+        # best_t hasn't absorbed the current chunk yet, so this is
+        # conservative (at worst one extra fetch)
+        nxt = find_next(cur + 1)
+        nslot = 1 - slot
+        nfound = found(nxt)
+
+        @pl.when(nfound)
+        def _():
+            _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf,
+                       sems, order_ref[nxt], nslot)
+
+        _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
+                  slot)
+        idx = order_ref[cur]
+        t, valid = _chunk_hits_vals(d, ck, gt_buf[slot], ci_buf[slot],
+                                    ids_buf[slot][0:1, :], o8, d8, skip)
+        tm = jnp.where(valid, t, INF)
+        ct = jnp.min(tm, axis=1, keepdims=True)
+        carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
+        upd = ct < best_t[:]
+        best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
+        best_t[:] = jnp.where(upd, ct, best_t[:])
+        return nxt, nslot, nfound, visited + 1
+
+    _, _, _, visited = jax.lax.while_loop(
+        lambda s: s[2], body, (k0, jnp.int32(0), go0, jnp.int32(0)))
+    out_t_ref[:] = best_t[:]
+    out_id_ref[:] = best_id[:]
+    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("d",))
+def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
+                    active=None):
+    """nearest_hit for pools too large for VMEM residency: the pool stays
+    in HBM and visited chunks stream through a double buffer."""
+    R = o.shape[0]
+    nc, pr, ck = res["gt"].shape
+    ni = R // RAY_BLOCK
+    if order is None:
+        order = res["base_order"]
+        dmin = jnp.zeros((nc,), f32)
+    init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
+    if active is not None:
+        init_t = jnp.where(active, init_t, 0.0)
+    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
+    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+    klo_t, khi_t = _order_boxes(res, order, d)
+    ncp = klo_t.shape[1]
+
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out_t, out_id, counts = pl.pallas_call(
+        partial(_nearest_hbm_kernel, d, ck),
+        grid=(ni,),
+        interpret=_interpret(),
+        in_specs=[
+            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
+            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # klo_t (order space)
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # khi_t
+            pl.BlockSpec(memory_space=pltpu.ANY),       # gt (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # ci (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # ids (HBM)
+            pl.BlockSpec((nc, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+                   blk((RAY_BLOCK, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+            pltpu.VMEM((2, pr, ck), jnp.float32),
+            pltpu.VMEM((2, C_PAD, ck), jnp.float32),
+            pltpu.VMEM((2, C_PAD, ck), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
+      klo_t, khi_t, res["gt"], res["ci"], res["ids"],
+      res["klo"], res["khi"])
+    slot = out_id[:, 0]
+    slot_ids = res["ids"][:, 0, :].reshape(-1)
+    gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
+    return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]
+
+
+def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                     order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                     gt_hbm, ci_hbm, ids_hbm,
+                     klo_ref, khi_ref, out_ref, count_ref,
+                     blocked, gt_buf, ci_buf, ids_buf, sems):
+    o8 = o_ref[:]
+    d8 = dir_ref[:]
+    skip = skip_ref[:]
+    ldist = ldist_ref[:]
+
+    blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    n_eff = neff_ref[0]
+
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
+    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+
+    def live():
+        return jnp.any((blocked[:] == 0) & (ldist > 0))
+
+    def find_next(k0):
+        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0))
+        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
+        return jnp.min(jnp.where(cand, posi, BIG_POS))
+
+    def found(k):
+        return (k < n_eff) & live()
+
+    k0 = find_next(jnp.int32(0))
+    go0 = found(k0)
+
+    @pl.when(go0)
+    def _():
+        _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
+                   order_ref[k0], jnp.int32(0))
+
+    def body(state):
+        cur, slot, _, visited = state
+        nxt = find_next(cur + 1)
+        nslot = 1 - slot
+        nfound = found(nxt)
+
+        @pl.when(nfound)
+        def _():
+            _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf,
+                       sems, order_ref[nxt], nslot)
+
+        _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
+                  slot)
+        t, valid = _chunk_hits_vals(d, ck, gt_buf[slot], ci_buf[slot],
+                                    ids_buf[slot][0:1, :], o8, d8, skip)
+        valid &= t < ldist
+        hit = jnp.any(valid, axis=1, keepdims=True)
+        blocked[:] = jnp.where(hit, 1, blocked[:])
+        # nfound was computed before this chunk's hits; recheck liveness so
+        # a fully-blocked block exits without computing the prefetched chunk
+        return nxt, nslot, nfound & live(), visited + 1
+
+    _, _, _, visited = jax.lax.while_loop(
+        lambda s: s[2], body, (k0, jnp.int32(0), go0, jnp.int32(0)))
+    out_ref[:] = blocked[:]
+    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("d",))
+def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
+    """occluded for HBM-resident pools (double-buffered chunk streaming)."""
+    R = o.shape[0]
+    nc, pr, ck = res["gt"].shape
+    ni = R // RAY_BLOCK
+    if order is None:
+        order = res["base_order"]
+    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
+    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+
+    klo_t, khi_t = _order_boxes(res, order, d)
+    ncp = klo_t.shape[1]
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out, counts = pl.pallas_call(
+        partial(_occl_hbm_kernel, d, ck),
+        grid=(ni,),
+        interpret=_interpret(),
+        in_specs=[
+            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
+            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((nc, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+            pltpu.VMEM((2, pr, ck), jnp.float32),
+            pltpu.VMEM((2, C_PAD, ck), jnp.float32),
+            pltpu.VMEM((2, C_PAD, ck), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
+      klo_t, khi_t, res["gt"], res["ci"], res["ids"],
+      res["klo"], res["khi"])
+    return out[:, 0] != 0, counts[::RAY_BLOCK, 0]

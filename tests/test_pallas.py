@@ -278,3 +278,43 @@ def test_transparent_resident_kernels_match_xla(monkeypatch):
     scene._device_cache = (cfg, no_k, flat)
     eng2 = wavefront.render_strip_composite(scene, F, 0, h)
     assert float(np.abs(eng - eng2).max()) < 2e-5
+
+
+def test_hbm_resident_path_matches_xla(monkeypatch):
+    """Pools beyond the VMEM budget stream chunks through the in-kernel
+    double buffer (nearest_hit_hbm / occluded_hbm); results must match the
+    XLA path through the full engine."""
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    monkeypatch.setattr(rk, "POOL_VMEM_BUDGET", 1024)
+    nt = NTracer(3)
+    mat = Material((1, 0.6, 0.4), reflectivity=0.3)
+    rng = np.random.RandomState(9)
+    protos = []
+    for _ in range(1500):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.4, 0.4, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector.axis(2, -8))
+    scene.set_camera(cam)
+    scene.add_light(nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)))
+    scene.set_shadows(True)
+
+    cfg, device, flat = wavefront.get_device_scene(scene)
+    assert "res_is_hbm" in device
+
+    w = h = 24
+
+    class F:
+        width = w
+        height = h
+
+    scene._set_view_size(w, h)
+    eng = wavefront.render_strip_composite(scene, F, 0, h)
+    no_k = {k: v for k, v in device.items()
+            if not k.startswith(("res_", "kern_"))}
+    scene._device_cache = (cfg, no_k, flat)
+    eng2 = wavefront.render_strip_composite(scene, F, 0, h)
+    assert float(np.abs(eng - eng2).max()) < 2e-5
