@@ -81,7 +81,25 @@ def prepare_tri_arrays(tri_p1, tri_fn, tri_en, tri_dc, tri_lo, tri_hi, d):
                 b_lo=b_lo, b_hi=b_hi)
 
 
-def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, init_t_ref,
+def shared_rows(gt, ci, origin, d):
+    """Per-triangle rows for SHARED-ORIGIN rays (one camera origin for a
+    whole primary-ray frame): row 0 is the t numerator ``ci[0] - o.n_0``
+    and row i the edge bound ``ci[i] - o.n_i``.  The origin dot products
+    accumulate coordinate-by-coordinate in the same order as the per-ray
+    kernels, so hoisting them out of the (ray x triangle) inner loop is
+    bit-exact — it just computes each per-triangle value once per frame
+    instead of once per ray (roughly half the hot-loop FLOPs)."""
+    T = gt.shape[1]
+    rows = []
+    for p in range(d):
+        acc = jnp.zeros((T,), f32)
+        for c in range(d):
+            acc = acc + origin[c] * gt[p * d + c, :]
+        rows.append(ci[p, :] - acc)
+    return jnp.stack(rows, axis=0)  # (d, T)
+
+
+def _nearest_kernel(d, nj, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                     gt_ref, ci_ref, lo_ref, hi_ref, any_ref, out_t_ref,
                     out_id_ref, best_t, best_id):
     j = pl.program_id(1)
@@ -118,24 +136,33 @@ def _nearest_kernel(d, nj, o_ref, dir_ref, skip_ref, init_t_ref,
     @pl.when(run)
     def _():
         # plane dots streamed per plane — only one O/D pair live at a time
-        # (keeping all d pairs in VMEM spills at 512x512 tiles)
+        # (keeping all d pairs in VMEM spills at 512x512 tiles).  In shared
+        # mode ci_ref carries the precomputed shared_rows, so only the
+        # direction dots remain per pair.
         def plane_dots(p):
-            accO = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
+            accO = None if shared else jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
             accD = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
             for c in range(d):
                 row = gt_ref[p * d + c, :][None, :]       # (1, TRI_BLOCK)
-                accO += o_b[:, c:c + 1] * row
+                if not shared:
+                    accO += o_b[:, c:c + 1] * row
                 accD += d_b[:, c:c + 1] * row
             return accO, accD
 
         O0, denom = plane_dots(0)
-        t = (ci_ref[0, :][None, :] - O0) / denom          # ci[0] = -dc
+        if shared:
+            t = ci_ref[0, :][None, :] / denom             # row 0 = -dc - O0
+        else:
+            t = (ci_ref[0, :][None, :] - O0) / denom      # ci[0] = -dc
         valid = (denom != 0) & (t > 0)
 
         tot = jnp.zeros((RAY_BLOCK, TRI_BLOCK), f32)
         for i in range(1, d):
             Oi, Di = plane_dots(i)
-            a = ci_ref[i, :][None, :] - Oi - t * Di
+            if shared:
+                a = ci_ref[i, :][None, :] - t * Di
+            else:
+                a = ci_ref[i, :][None, :] - Oi - t * Di
             valid &= (a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ)
             tot += a
         valid &= tot <= 1 + ROUNDING_FUZZ
@@ -192,18 +219,23 @@ def _scene_exit(o, dirs, b_lo, b_hi):
 
 
 @partial(jax.jit, static_argnames=("d",))
-def nearest_hit(kern, o, dirs, skip, d):
+def nearest_hit(kern, o, dirs, skip, d, sh=None):
     """Nearest opaque hit over the whole pool.  Returns (t, local_id):
-    t=inf / id=-1 for misses.  ``skip`` is a LOCAL pool index (or -1)."""
+    t=inf / id=-1 for misses.  ``skip`` is a LOCAL pool index (or -1).
+
+    ``sh`` (from shared_rows) enables the shared-origin fast path for
+    primary rays: the per-triangle origin dots are precomputed per frame,
+    bit-identical to the per-ray path."""
     R = o.shape[0]
     T = kern["gt"].shape[1]
     ni = R // RAY_BLOCK
     nj = T // TRI_BLOCK
 
     init_t = _scene_exit(o, dirs, kern["b_lo"], kern["b_hi"])
+    ci = kern["ci"] if sh is None else sh
 
     out_t, out_id = pl.pallas_call(
-        partial(_nearest_kernel, d, nj),
+        partial(_nearest_kernel, d, nj, sh is not None),
         grid=(ni, nj),
         interpret=_interpret(),
         in_specs=[
@@ -240,7 +272,7 @@ def nearest_hit(kern, o, dirs, skip, d):
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
         ],
-    )(o, dirs, skip[:, None], init_t[:, None], kern["gt"], kern["ci"],
+    )(o, dirs, skip[:, None], init_t[:, None], kern["gt"], ci,
       kern["k_lo"], kern["k_hi"], kern["k_any"])
     return out_t[:, 0], out_id[:, 0]
 

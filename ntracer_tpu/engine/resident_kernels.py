@@ -266,52 +266,61 @@ def _scene_exit(o, dirs, b_lo, b_hi):
     return jnp.where(hit, tf * (1 + 16 * ROUNDING_FUZZ), 0.0)
 
 
-def _entry(o_d, d_d, lo, hi):
-    """Slab entry distances of a ray block against one chunk AABB.
-    o_d/d_d: (R, d); lo/hi: (d,) traced.  Returns (R, 1), INF on miss."""
-    par = d_d == 0
-    safe = jnp.where(par, 1.0, d_d)
-    inv = jnp.where(par, 0.0, 1.0 / safe)
-    a = (lo[None, :] - o_d) * inv
-    b = (hi[None, :] - o_d) * inv
-    inside = (o_d >= lo[None, :]) & (o_d <= hi[None, :])
-    t0 = jnp.where(par, jnp.where(inside, -BIG, BIG), jnp.minimum(a, b))
-    t1 = jnp.where(par, jnp.where(inside, BIG, -BIG), jnp.maximum(a, b))
-    tn = jnp.max(t0, axis=1, keepdims=True)
-    tf = jnp.min(t1, axis=1, keepdims=True)
-    entry = jnp.maximum(tn, 0.0)
-    ok = (tf >= entry) & (tf >= 0)
-    return jnp.where(ok, entry, INF)
+def shared_rows_res(gt, ci, origin, d):
+    """Shared-origin per-slot rows for the resident layouts (the analogue
+    of pallas_kernels.shared_rows): ``sh[k, p, s] = ci[k, p, s] - o.n_p``
+    with the origin dots accumulated coordinate-by-coordinate — the same
+    float ops as the per-ray kernel, computed once per frame instead of
+    once per (ray, slot) pair.  Returns (nc, C_PAD, ck)."""
+    nc, pr, ck = gt.shape
+    rows = []
+    for p in range(d):
+        acc = jnp.zeros((nc, ck), f32)
+        for c in range(d):
+            acc = acc + origin[c] * gt[:, p * d + c, :]
+        rows.append(ci[:, p, :] - acc)
+    sh = jnp.stack(rows, axis=1)
+    return jnp.concatenate(
+        [sh, jnp.zeros((nc, C_PAD - d, ck), f32)], axis=1)
 
 
-def _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx, o8, d8, skip):
+def _chunk_hits(d, ck, shared, gt_ref, ci_ref, ids_ref, idx, o8, d8, skip):
     """Ray-block x chunk intersection against VMEM-resident pool refs."""
-    return _chunk_hits_vals(d, ck, gt_ref[idx], ci_ref[idx],
+    return _chunk_hits_vals(d, ck, shared, gt_ref[idx], ci_ref[idx],
                             ids_ref[idx][0:1, :], o8, d8, skip)
 
 
-def _chunk_hits_vals(d, ck, g, ci, idrow, o8, d8, skip):
+def _chunk_hits_vals(d, ck, shared, g, ci, idrow, o8, d8, skip):
     """Ray-block x chunk intersection (tracer.hpp:411-440 vectorized).
     Returns (t, valid): (RAY_BLOCK, ck).  Plane dots accumulate coordinate
     by coordinate on the VPU — the same order as the scalar oracle.
-    ``g`` (pad8(d*d), ck), ``ci`` (8, ck), ``idrow`` (1, ck)."""
+    ``g`` (pad8(d*d), ck), ``ci`` (8, ck), ``idrow`` (1, ck).  When
+    ``shared`` (static), ``ci`` carries the precomputed shared-origin rows
+    (see shared_rows_res) and only the direction dots run per pair."""
 
     def dots(p):
-        accO = jnp.zeros((RAY_BLOCK, ck), f32)
+        accO = None if shared else jnp.zeros((RAY_BLOCK, ck), f32)
         accD = jnp.zeros((RAY_BLOCK, ck), f32)
         for c in range(d):
             row = g[p * d + c][None, :]               # (1, ck)
-            accO += o8[:, c:c + 1] * row
+            if not shared:
+                accO += o8[:, c:c + 1] * row
             accD += d8[:, c:c + 1] * row
         return accO, accD
 
     O0, denom = dots(0)
-    t = (ci[0][None, :] - O0) / denom                 # ci[0] = -dc
+    if shared:
+        t = ci[0][None, :] / denom                    # row 0 = -dc - O0
+    else:
+        t = (ci[0][None, :] - O0) / denom             # ci[0] = -dc
     valid = (denom != 0) & (t > 0)
     tot = jnp.zeros((RAY_BLOCK, ck), f32)
     for i in range(1, d):
         Oi, Di = dots(i)
-        a = ci[i][None, :] - Oi - t * Di
+        if shared:
+            a = ci[i][None, :] - t * Di
+        else:
+            a = ci[i][None, :] - Oi - t * Di
         valid &= (a >= -ROUNDING_FUZZ) & (a <= 1 + ROUNDING_FUZZ)
         tot += a
     valid &= tot <= 1 + ROUNDING_FUZZ
@@ -322,61 +331,104 @@ def _chunk_hits_vals(d, ck, g, ci, idrow, o8, d8, skip):
     return t, valid
 
 
-def _nearest_kernel(d, ck, o_ref, dir_ref, skip_ref, init_t_ref,
-                    order_ref, dmin_ref, neff_ref, gt_ref, ci_ref, ids_ref,
-                    klo_ref, khi_ref, out_t_ref, out_id_ref, count_ref,
+def _nearest_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
+                    order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                    gt_ref, ci_ref, ids_ref,
+                    out_t_ref, out_id_ref, count_ref,
                     best_t, best_id):
     """Per-ray state lives in VMEM scratch mutated under ``pl.when``; the
     while carry holds only scalars.  (Carrying (RAY_BLOCK, 1) vectors
     through lax.while_loop + lax.cond miscompiled on real TPUs: whole ray
-    blocks lost their hits while interpret mode was exact.)"""
+    blocks lost their hits while interpret mode was exact.)
+
+    Control flow: all chunk entry lower bounds are precomputed in ONE
+    lane-parallel pass (``_entry_min_all``, (1, ncp) in visit order), and
+    the walk jumps straight between candidate chunks via a masked reduce
+    (``find_next``).  A serial per-iteration entry test on (R, d)-shaped
+    arrays wastes ~94% of the VPU lanes and was measured to DOMINATE the
+    kernel (walk time was flat in the pair-test count); with the
+    vectorized scan, skipped chunks cost nothing and only candidates pay
+    the exact per-ray slab test."""
     o8 = o_ref[:]                 # (RAY_BLOCK, 8) zero-padded coords
     d8 = dir_ref[:]
-    o_d = o8[:, :d]
-    d_d = d8[:, :d]
     skip = skip_ref[:]
 
     best_t[:] = init_t_ref[:]
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     n_eff = neff_ref[0]
 
+    # min-over-rays entry bound for EVERY chunk position, in ORDER space
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
+    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+
+    # Every vector->scalar transfer serializes the walk (~3 us each: the
+    # kernel was measured FLAT in the pair-test count with per-iteration
+    # predicates).  So each iteration selects the next FOUR candidate
+    # chunks with chained vector mins, packs them into TWO scalars (14
+    # bits per position), and processes all four unconditionally —
+    # duplicate-free by construction, tail slots masked via SENT.
+    SENT = jnp.int32((1 << 14) - 1)                       # 16383
+
+    def find4(k0v):
+        """Positions of the next 4 candidates >= k0v ((1,1) vector), as
+        two packed (1,1) vectors [c1*2^14+c2, c3*2^14+c4]; SENT fills."""
+        bound = jnp.max(best_t[:], axis=0, keepdims=True)   # (1, 1)
+        cand = (emin < bound) & (posi >= k0v) & (posi < n_eff)
+        cp = jnp.where(cand, posi, SENT)
+        c1 = jnp.min(cp, axis=1, keepdims=True)
+        cp = jnp.where(posi > c1, cp, SENT)
+        c2 = jnp.min(cp, axis=1, keepdims=True)
+        cp = jnp.where(posi > c2, cp, SENT)
+        c3 = jnp.min(cp, axis=1, keepdims=True)
+        cp = jnp.where(posi > c3, cp, SENT)
+        c4 = jnp.min(cp, axis=1, keepdims=True)
+        return c1 * (SENT + 1) + c2, c3 * (SENT + 1) + c4
+
+    def chunk_pass(kpos, live):
+        """One unconditional chunk visit; ``live`` masks tail slots."""
+        idx = order_ref[jnp.minimum(kpos, n_eff - 1)]
+        t, valid = _chunk_hits(d, ck, shared, gt_ref, ci_ref, ids_ref,
+                               idx, o8, d8, skip)
+        tm = jnp.where(valid, t, INF)
+        ct = jnp.min(tm, axis=1, keepdims=True)
+        carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
+        upd = (ct < best_t[:]) & live
+        best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
+        best_t[:] = jnp.where(upd, ct, best_t[:])
+        return live.astype(jnp.int32)
+
     def body(state):
-        k, _, visited = state
-        idx = order_ref[k]
-        entry = _entry(o_d, d_d, klo_ref[idx], khi_ref[idx])
-        pred = jnp.any(entry < best_t[:])
+        p12, p34, _, visited = state
+        # next candidates are scanned with the PRE-update bound (at worst
+        # a few extra chunks) so the two scalar extractions overlap the
+        # four chunk passes below
+        n12, n34 = find4(jnp.maximum(p34 % (SENT + 1),
+                                     p34 // (SENT + 1)) + 1)
+        k1, k2 = p12 // (SENT + 1), p12 % (SENT + 1)
+        k3, k4 = p34 // (SENT + 1), p34 % (SENT + 1)
+        visited = visited + chunk_pass(k1, k1 < SENT)
+        visited = visited + chunk_pass(k2, k2 < SENT)
+        visited = visited + chunk_pass(k3, k3 < SENT)
+        visited = visited + chunk_pass(k4, k4 < SENT)
+        nv12 = n12[0, 0]
+        nv34 = n34[0, 0]
+        return nv12, nv34, nv12 // (SENT + 1) < SENT, visited
 
-        @pl.when(pred)
-        def _():
-            t, valid = _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx,
-                                   o8, d8, skip)
-            tm = jnp.where(valid, t, INF)
-            ct = jnp.min(tm, axis=1, keepdims=True)
-            carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
-            upd = ct < best_t[:]
-            best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
-            best_t[:] = jnp.where(upd, ct, best_t[:])
-
-        visited = visited + pred.astype(jnp.int32)
-        k = k + 1
-        # remaining chunks are at least dmin[k] from the shared origin:
-        # stop when no ray can improve (dmin is 0 for unshared origins).
-        # k is clamped because & does not short-circuit — dmin_ref[n_eff]
-        # would be an out-of-bounds SMEM read (garbage on real TPUs).
-        kc = jnp.minimum(k, order_ref.shape[0] - 1)
-        go = (k < n_eff) & (jnp.max(best_t[:]) > dmin_ref[kc])
-        return k, go, visited
-
-    go0 = (n_eff > 0) & (jnp.max(best_t[:]) > dmin_ref[0])
-    _, _, visited = jax.lax.while_loop(
-        lambda s: s[1], body, (jnp.int32(0), go0, jnp.int32(0)))
+    i12, i34 = find4(jnp.zeros((1, 1), jnp.int32))
+    iv12 = i12[0, 0]
+    iv34 = i34[0, 0]
+    _, _, _, visited = jax.lax.while_loop(
+        lambda s: s[2], body,
+        (iv12, iv34, iv12 // (SENT + 1) < SENT, jnp.int32(0)))
     out_t_ref[:] = best_t[:]
     out_id_ref[:] = best_id[:]
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
-def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None):
+def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
+                sh=None):
     """Nearest hit over the resident pool.  Returns (t, local_id, visited):
     t=inf / id=-1 for misses; visited = chunks tested per ray block
     (instrumentation).  ``skip`` is a LOCAL pool index (or -1).
@@ -384,7 +436,8 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None):
     ``order``/``dmin`` select the chunk visit order (see chunk_order);
     default is pool order with no distance bound.  ``active`` masks rays
     out entirely (their blocks exit the walk immediately when compacted
-    together)."""
+    together).  ``sh`` (from shared_rows_res) enables the bit-exact
+    shared-origin fast path for primary rays."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
     ni = R // RAY_BLOCK
@@ -399,9 +452,12 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None):
     o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
     d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+    ci = res["ci"] if sh is None else sh
+    klo_t, khi_t = _order_boxes(res, order, d)
+    ncp = klo_t.shape[1]
 
     out_t, out_id, counts = pl.pallas_call(
-        partial(_nearest_kernel, d, ck),
+        partial(_nearest_kernel, d, ck, sh is not None),
         grid=(ni,),
         interpret=_interpret(),
         in_specs=[
@@ -414,17 +470,16 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None):
             pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # order
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # dmin
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # klo_t (order space)
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # khi_t
             pl.BlockSpec((nc, pr, ck), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -444,8 +499,8 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None):
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
         ],
-    )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
-      res["gt"], res["ci"], res["ids"], res["klo"], res["khi"])
+    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff,
+      klo_t, khi_t, res["gt"], ci, res["ids"])
     # kernel returns the winning SLOT; map to the dedup'd global pool id
     slot = out_id[:, 0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
@@ -454,40 +509,43 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None):
 
 
 def _occlusion_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                      order_ref, neff_ref, gt_ref, ci_ref, ids_ref,
-                      klo_ref, khi_ref, out_ref, count_ref, blocked):
+                      order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                      gt_ref, ci_ref, ids_ref,
+                      out_ref, count_ref, blocked):
     o8 = o_ref[:]
     d8 = dir_ref[:]
-    o_d = o8[:, :d]
-    d_d = d8[:, :d]
     skip = skip_ref[:]
     ldist = ldist_ref[:]
 
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     n_eff = neff_ref[0]
 
+    # vectorized candidate scan with a single, latency-hidden scalar sync
+    # per iteration (see _nearest_kernel)
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
+    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+
+    def find_next(k0):
+        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                       axis=0, keepdims=True)                   # (1, 1)
+        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
+        return jnp.min(jnp.where(cand, posi, BIG_POS))
+
     def body(state):
         k, _, visited = state
+        nxt = find_next(k + 1)
         idx = order_ref[k]
-        entry = _entry(o_d, d_d, klo_ref[idx], khi_ref[idx])
-        pred = jnp.any((blocked[:] == 0) & (entry < ldist))
+        t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref, ids_ref,
+                               idx, o8, d8, skip)
+        valid &= t < ldist
+        hit = jnp.any(valid, axis=1, keepdims=True)
+        blocked[:] = jnp.where(hit, 1, blocked[:])
+        return nxt, nxt < BIG_POS, visited + 1
 
-        @pl.when(pred)
-        def _():
-            t, valid = _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx,
-                                   o8, d8, skip)
-            valid &= t < ldist
-            hit = jnp.any(valid, axis=1, keepdims=True)
-            blocked[:] = jnp.where(hit, 1, blocked[:])
-
-        visited = visited + pred.astype(jnp.int32)
-        k = k + 1
-        go = (k < n_eff) & jnp.any((blocked[:] == 0) & (ldist > 0))
-        return k, go, visited
-
-    go0 = (n_eff > 0) & jnp.any(ldist > 0)
+    k0 = find_next(jnp.int32(0))
     _, _, visited = jax.lax.while_loop(
-        lambda s: s[1], body, (jnp.int32(0), go0, jnp.int32(0)))
+        lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
     out_ref[:] = blocked[:]
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
@@ -507,6 +565,8 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
     o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
     d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+    klo_t, khi_t = _order_boxes(res, order, d)
+    ncp = klo_t.shape[1]
 
     out, counts = pl.pallas_call(
         partial(_occlusion_kernel, d, ck),
@@ -523,15 +583,15 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # order
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, pr, ck), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -547,8 +607,8 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
-      res["gt"], res["ci"], res["ids"], res["klo"], res["khi"])
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, klo_t, khi_t,
+      res["gt"], res["ci"], res["ids"])
     return out[:, 0] != 0, counts[::RAY_BLOCK, 0]
 
 
@@ -559,15 +619,14 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
 # ---------------------------------------------------------------------------
 
 
-def _nearest_t_kernel(d, ck, K, o_ref, dir_ref, skip_ref, init_t_ref,
-                      order_ref, dmin_ref, neff_ref, gt_ref, ci_ref, ids_ref,
-                      opa_ref, klo_ref, khi_ref, out_t_ref, out_id_ref,
+def _nearest_t_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
+                      order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                      gt_ref, ci_ref, ids_ref,
+                      opa_ref, out_t_ref, out_id_ref,
                       out_tt_ref, out_tid_ref, count_ref,
                       best_t, best_id, tt, tid):
     o8 = o_ref[:]
     d8 = dir_ref[:]
-    o_d = o8[:, :d]
-    d_d = d8[:, :d]
     skip = skip_ref[:]
 
     best_t[:] = init_t_ref[:]
@@ -577,50 +636,59 @@ def _nearest_t_kernel(d, ck, K, o_ref, dir_ref, skip_ref, init_t_ref,
     n_eff = neff_ref[0]
     lanesK = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, K), 1)
 
+    # vectorized candidate scan (see _nearest_kernel).  The walk bound is
+    # the nearest OPAQUE hit; transparent hits beyond every ray's best_t
+    # are culled by trim_intersections in the reference too
+    # (tracer.hpp:784-789), so the same bound is exact here.
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
+    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+
+    def find_next(k0):
+        bound = jnp.max(best_t[:], axis=0, keepdims=True)       # (1, 1)
+        cand = (emin < bound) & (posi >= k0) & (posi < n_eff)
+        return jnp.min(jnp.where(cand, posi, BIG_POS))
+
     def body(state):
         k, _, visited = state
+        # single, latency-hidden scalar sync per iteration; candidates are
+        # processed unconditionally (see _nearest_kernel).  Extra visits
+        # are exact: the K-buffer keeps the K smallest inserted, so far
+        # hits that downstream filtering drops cannot evict nearer ones.
+        nxt = find_next(k + 1)
         idx = order_ref[k]
-        entry = _entry(o_d, d_d, klo_ref[idx], khi_ref[idx])
-        pred = jnp.any(entry < best_t[:])
+        t, valid = _chunk_hits(d, ck, shared, gt_ref, ci_ref, ids_ref,
+                               idx, o8, d8, skip)
+        op = opa_ref[idx][0:1, :]
+        opaq = op >= 1.0
 
-        @pl.when(pred)
-        def _():
-            t, valid = _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx,
-                                   o8, d8, skip)
-            op = opa_ref[idx][0:1, :]
-            opaq = op >= 1.0
+        tm = jnp.where(valid & opaq, t, INF)
+        ct = jnp.min(tm, axis=1, keepdims=True)
+        carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
+        upd = ct < best_t[:]
+        best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
+        best_t[:] = jnp.where(upd, ct, best_t[:])
 
-            tm = jnp.where(valid & opaq, t, INF)
-            ct = jnp.min(tm, axis=1, keepdims=True)
-            carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
-            upd = ct < best_t[:]
-            best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
-            best_t[:] = jnp.where(upd, ct, best_t[:])
+        # K-nearest transparent slots: extract the chunk minimum K
+        # times, each time replacing the buffer maximum if nearer
+        tmt = jnp.where(valid & jnp.logical_not(opaq), t, INF)
+        for _s in range(K):
+            st = jnp.min(tmt, axis=1, keepdims=True)
+            sarg = jnp.argmin(tmt, axis=1).astype(jnp.int32)[:, None]
+            lane = jax.lax.broadcasted_iota(jnp.int32,
+                                            (RAY_BLOCK, ck), 1)
+            tmt = jnp.where(lane == sarg, INF, tmt)
+            bmax = jnp.max(tt[:], axis=1, keepdims=True)
+            barg = jnp.argmax(tt[:], axis=1).astype(jnp.int32)[:, None]
+            put = (st < bmax) & (lanesK == barg)
+            tid[:] = jnp.where(put, idx * ck + sarg, tid[:])
+            tt[:] = jnp.where(put, st, tt[:])
 
-            # K-nearest transparent slots: extract the chunk minimum K
-            # times, each time replacing the buffer maximum if nearer
-            tmt = jnp.where(valid & jnp.logical_not(opaq), t, INF)
-            for _s in range(K):
-                st = jnp.min(tmt, axis=1, keepdims=True)
-                sarg = jnp.argmin(tmt, axis=1).astype(jnp.int32)[:, None]
-                lane = jax.lax.broadcasted_iota(jnp.int32,
-                                                (RAY_BLOCK, ck), 1)
-                tmt = jnp.where(lane == sarg, INF, tmt)
-                bmax = jnp.max(tt[:], axis=1, keepdims=True)
-                barg = jnp.argmax(tt[:], axis=1).astype(jnp.int32)[:, None]
-                put = (st < bmax) & (lanesK == barg)
-                tid[:] = jnp.where(put, idx * ck + sarg, tid[:])
-                tt[:] = jnp.where(put, st, tt[:])
+        return nxt, nxt < BIG_POS, visited + 1
 
-        visited = visited + pred.astype(jnp.int32)
-        k = k + 1
-        kc = jnp.minimum(k, order_ref.shape[0] - 1)
-        go = (k < n_eff) & (jnp.max(best_t[:]) > dmin_ref[kc])
-        return k, go, visited
-
-    go0 = (n_eff > 0) & (jnp.max(best_t[:]) > dmin_ref[0])
+    k0 = find_next(jnp.int32(0))
     _, _, visited = jax.lax.while_loop(
-        lambda s: s[1], body, (jnp.int32(0), go0, jnp.int32(0)))
+        lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
     out_t_ref[:] = best_t[:]
     out_id_ref[:] = best_id[:]
     out_tt_ref[:] = tt[:]
@@ -630,7 +698,7 @@ def _nearest_t_kernel(d, ck, K, o_ref, dir_ref, skip_ref, init_t_ref,
 
 @partial(jax.jit, static_argnames=("d", "K"))
 def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
-                            active=None):
+                            active=None, sh=None):
     """Nearest opaque hit + the K nearest transparent hits.  Returns
     (t, slot_gid, tt (R,K) ascending-unsorted, tid_gid (R,K), visited)."""
     R = o.shape[0]
@@ -645,13 +713,16 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
     o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
     d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+    ci = res["ci"] if sh is None else sh
+    klo_t, khi_t = _order_boxes(res, order, d)
+    ncp = klo_t.shape[1]
 
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.VMEM)
     out_t, out_id, out_tt, out_tid, counts = pl.pallas_call(
-        partial(_nearest_t_kernel, d, ck, K),
+        partial(_nearest_t_kernel, d, ck, K, sh is not None),
         grid=(ni,),
         interpret=_interpret(),
         in_specs=[
@@ -659,10 +730,9 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full((C_PAD, ncp)), full((C_PAD, ncp)),
             full((nc, pr, ck)), full((nc, C_PAD, ck)),
             full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
-            full((nc, d)), full((nc, d)),
         ],
         out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
                    blk((RAY_BLOCK, K)), blk((RAY_BLOCK, K)),
@@ -680,8 +750,8 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
             pltpu.VMEM((RAY_BLOCK, K), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, K), jnp.int32),
         ],
-    )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
-      res["gt"], res["ci"], res["ids"], res["opa"], res["klo"], res["khi"])
+    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, klo_t, khi_t,
+      res["gt"], ci, res["ids"], res["opa"])
 
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     slot = out_id[:, 0]
@@ -691,13 +761,12 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
 
 
 def _occl_t_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                   order_ref, neff_ref, gt_ref, ci_ref, ids_ref, opa_ref,
-                   klo_ref, khi_ref, out_ref, filt_ref, count_ref,
+                   order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                   gt_ref, ci_ref, ids_ref, opa_ref,
+                   out_ref, filt_ref, count_ref,
                    blocked, filt):
     o8 = o_ref[:]
     d8 = dir_ref[:]
-    o_d = o8[:, :d]
-    d_d = d8[:, :d]
     skip = skip_ref[:]
     ldist = ldist_ref[:]
 
@@ -705,33 +774,42 @@ def _occl_t_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
     n_eff = neff_ref[0]
 
+    # vectorized candidate scan (see _nearest_kernel); a chunk with
+    # emin >= max unblocked ldist can affect neither blocked nor filt
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
+    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+
+    def find_next(k0):
+        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                       axis=0, keepdims=True)                   # (1, 1)
+        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
+        return jnp.min(jnp.where(cand, posi, BIG_POS))
+
     def body(state):
         k, _, visited = state
+        # single, latency-hidden scalar sync per iteration (see
+        # _nearest_kernel).  Extra visits are exact: the per-ray
+        # ``t < ldist`` filter makes both blocked and filt independent of
+        # which superset of necessary chunks is walked.
+        nxt = find_next(k + 1)
         idx = order_ref[k]
-        entry = _entry(o_d, d_d, klo_ref[idx], khi_ref[idx])
-        pred = jnp.any((blocked[:] == 0) & (entry < ldist))
+        t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref, ids_ref,
+                               idx, o8, d8, skip)
+        valid &= t < ldist
+        op = opa_ref[idx][0:1, :]
+        opaq = op >= 1.0
+        hit = jnp.any(valid & opaq, axis=1, keepdims=True)
+        blocked[:] = jnp.where(hit, 1, blocked[:])
+        tr = valid & jnp.logical_not(opaq)
+        filt[:] = filt[:] * jnp.prod(
+            jnp.where(tr, 1.0 - op, 1.0), axis=1, keepdims=True)
 
-        @pl.when(pred)
-        def _():
-            t, valid = _chunk_hits(d, ck, gt_ref, ci_ref, ids_ref, idx,
-                                   o8, d8, skip)
-            valid &= t < ldist
-            op = opa_ref[idx][0:1, :]
-            opaq = op >= 1.0
-            hit = jnp.any(valid & opaq, axis=1, keepdims=True)
-            blocked[:] = jnp.where(hit, 1, blocked[:])
-            tr = valid & jnp.logical_not(opaq)
-            filt[:] = filt[:] * jnp.prod(
-                jnp.where(tr, 1.0 - op, 1.0), axis=1, keepdims=True)
+        return nxt, nxt < BIG_POS, visited + 1
 
-        visited = visited + pred.astype(jnp.int32)
-        k = k + 1
-        go = (k < n_eff) & jnp.any((blocked[:] == 0) & (ldist > 0))
-        return k, go, visited
-
-    go0 = (n_eff > 0) & jnp.any(ldist > 0)
+    k0 = find_next(jnp.int32(0))
     _, _, visited = jax.lax.while_loop(
-        lambda s: s[1], body, (jnp.int32(0), go0, jnp.int32(0)))
+        lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
     out_ref[:] = blocked[:]
     filt_ref[:] = filt[:]
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
@@ -749,6 +827,8 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
     d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+    klo_t, khi_t = _order_boxes(res, order, d)
+    ncp = klo_t.shape[1]
 
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -763,9 +843,9 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            full((C_PAD, ncp)), full((C_PAD, ncp)),
             full((nc, pr, ck)), full((nc, C_PAD, ck)),
             full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
-            full((nc, d)), full((nc, d)),
         ],
         out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
                    blk((RAY_BLOCK, 1))],
@@ -778,8 +858,8 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
-      res["gt"], res["ci"], res["ids"], res["opa"], res["klo"], res["khi"])
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, klo_t, khi_t,
+      res["gt"], res["ci"], res["ids"], res["opa"])
     return out[:, 0] != 0, filt[:, 0], counts[::RAY_BLOCK, 0]
 
 
@@ -859,9 +939,9 @@ def _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref):
 BIG_POS = np.int32(1 << 30)
 
 
-def _nearest_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, init_t_ref,
+def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                         order_ref, dmin_ref, neff_ref, klo_t_ref, khi_t_ref,
-                        gt_hbm, ci_hbm, ids_hbm, klo_ref, khi_ref,
+                        gt_hbm, ci_hbm, ids_hbm,
                         out_t_ref, out_id_ref,
                         count_ref, best_t, best_id, gt_buf, ci_buf, ids_buf,
                         sems):
@@ -881,22 +961,22 @@ def _nearest_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, init_t_ref,
 
     def find_next(k0):
         """First position >= k0 any ray might still need (single masked
-        reduce; chunks whose min entry beats every ray's best are pruned
-        when the chunk is actually reached)."""
-        cand = (emin < jnp.max(best_t[:])) & (posi >= k0) & (posi < n_eff)
+        reduce; the bound stays a (1, 1) vector so the only vector->scalar
+        transfer is the final masked min — per-iteration scalar syncs were
+        measured to dominate these walks)."""
+        bound = jnp.max(best_t[:], axis=0, keepdims=True)       # (1, 1)
+        cand = (emin < bound) & (posi >= k0) & (posi < n_eff)
         return jnp.min(jnp.where(cand, posi, BIG_POS))
 
-    def found(k):
-        kc = jnp.minimum(k, nc_max)
-        return (k < n_eff) & (jnp.max(best_t[:]) > dmin_ref[kc])
+    del nc_max, dmin_ref  # find_next's emin bound subsumes the dmin check
 
     k0 = find_next(jnp.int32(0))
-    go0 = found(k0)
+    go0 = k0 < BIG_POS
 
     @pl.when(go0)
     def _():
         _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
-                   order_ref[k0], jnp.int32(0))
+                   order_ref[jnp.minimum(k0, n_eff - 1)], jnp.int32(0))
 
     def body(state):
         cur, slot, _, visited = state
@@ -905,7 +985,7 @@ def _nearest_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, init_t_ref,
         # conservative (at worst one extra fetch)
         nxt = find_next(cur + 1)
         nslot = 1 - slot
-        nfound = found(nxt)
+        nfound = nxt < BIG_POS
 
         @pl.when(nfound)
         def _():
@@ -915,8 +995,9 @@ def _nearest_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, init_t_ref,
         _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
                   slot)
         idx = order_ref[cur]
-        t, valid = _chunk_hits_vals(d, ck, gt_buf[slot], ci_buf[slot],
-                                    ids_buf[slot][0:1, :], o8, d8, skip)
+        t, valid = _chunk_hits_vals(d, ck, shared, gt_buf[slot],
+                                    ci_buf[slot], ids_buf[slot][0:1, :],
+                                    o8, d8, skip)
         tm = jnp.where(valid, t, INF)
         ct = jnp.min(tm, axis=1, keepdims=True)
         carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
@@ -934,9 +1015,10 @@ def _nearest_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, init_t_ref,
 
 @partial(jax.jit, static_argnames=("d",))
 def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
-                    active=None):
+                    active=None, sh=None):
     """nearest_hit for pools too large for VMEM residency: the pool stays
-    in HBM and visited chunks stream through a double buffer."""
+    in HBM and visited chunks stream through a double buffer.  ``sh``
+    (shared_rows_res) replaces the streamed ci chunks for primary rays."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
     ni = R // RAY_BLOCK
@@ -951,11 +1033,12 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
+    ci = res["ci"] if sh is None else sh
 
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     out_t, out_id, counts = pl.pallas_call(
-        partial(_nearest_hbm_kernel, d, ck),
+        partial(_nearest_hbm_kernel, d, ck, sh is not None),
         grid=(ni,),
         interpret=_interpret(),
         in_specs=[
@@ -971,10 +1054,6 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
             pl.BlockSpec(memory_space=pltpu.ANY),       # gt (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),       # ci (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),       # ids (HBM)
-            pl.BlockSpec((nc, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
                    blk((RAY_BLOCK, 1))],
@@ -992,8 +1071,7 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
-      klo_t, khi_t, res["gt"], res["ci"], res["ids"],
-      res["klo"], res["khi"])
+      klo_t, khi_t, res["gt"], ci, res["ids"])
     slot = out_id[:, 0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
@@ -1003,7 +1081,7 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
 def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
                      order_ref, neff_ref, klo_t_ref, khi_t_ref,
                      gt_hbm, ci_hbm, ids_hbm,
-                     klo_ref, khi_ref, out_ref, count_ref,
+                     out_ref, count_ref,
                      blocked, gt_buf, ci_buf, ids_buf, sems):
     o8 = o_ref[:]
     d8 = dir_ref[:]
@@ -1017,30 +1095,28 @@ def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
-    def live():
-        return jnp.any((blocked[:] == 0) & (ldist > 0))
-
     def find_next(k0):
-        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0))
+        # the (1, 1) vector bound keeps the only vector->scalar transfer
+        # at the final masked min; lmax = 0 once every ray is resolved, so
+        # the result doubles as the liveness check
+        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                       axis=0, keepdims=True)                   # (1, 1)
         cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
         return jnp.min(jnp.where(cand, posi, BIG_POS))
 
-    def found(k):
-        return (k < n_eff) & live()
-
     k0 = find_next(jnp.int32(0))
-    go0 = found(k0)
+    go0 = k0 < BIG_POS
 
     @pl.when(go0)
     def _():
         _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
-                   order_ref[k0], jnp.int32(0))
+                   order_ref[jnp.minimum(k0, n_eff - 1)], jnp.int32(0))
 
     def body(state):
         cur, slot, _, visited = state
         nxt = find_next(cur + 1)
         nslot = 1 - slot
-        nfound = found(nxt)
+        nfound = nxt < BIG_POS
 
         @pl.when(nfound)
         def _():
@@ -1049,14 +1125,16 @@ def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
 
         _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
                   slot)
-        t, valid = _chunk_hits_vals(d, ck, gt_buf[slot], ci_buf[slot],
-                                    ids_buf[slot][0:1, :], o8, d8, skip)
+        t, valid = _chunk_hits_vals(d, ck, False, gt_buf[slot],
+                                    ci_buf[slot], ids_buf[slot][0:1, :],
+                                    o8, d8, skip)
         valid &= t < ldist
         hit = jnp.any(valid, axis=1, keepdims=True)
         blocked[:] = jnp.where(hit, 1, blocked[:])
-        # nfound was computed before this chunk's hits; recheck liveness so
-        # a fully-blocked block exits without computing the prefetched chunk
-        return nxt, nslot, nfound & live(), visited + 1
+        # nfound was computed before this chunk's hits (conservative: the
+        # prefetched chunk may be computed once after every ray resolves;
+        # the next find_next sees lmax = 0 and exits)
+        return nxt, nslot, nfound, visited + 1
 
     _, _, _, visited = jax.lax.while_loop(
         lambda s: s[2], body, (k0, jnp.int32(0), go0, jnp.int32(0)))
@@ -1096,10 +1174,6 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((nc, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1))],
         out_shape=[
@@ -1114,6 +1188,5 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
-      klo_t, khi_t, res["gt"], res["ci"], res["ids"],
-      res["klo"], res["khi"])
+      klo_t, khi_t, res["gt"], res["ci"], res["ids"])
     return out[:, 0] != 0, counts[::RAY_BLOCK, 0]

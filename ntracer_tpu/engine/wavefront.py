@@ -208,8 +208,29 @@ def _stat(stats, key, val):
         stats[key] = stats.get(key, 0) + val
 
 
+def primary_ctx(arrs, cfg, origin):
+    """Per-frame context for shared-origin (primary) traces: front-to-back
+    chunk order + per-position distance bounds (chunk_order) and the
+    hoisted origin-dot rows (shared_rows).  Computing these once per frame
+    instead of once per ray tile matters: chunk_order is an argsort and
+    shared_rows touches the whole pool."""
+    ctx = {}
+    if "res_gt" in arrs:
+        from . import resident_kernels as rk
+        res_k = _res_dict(arrs)
+        ctx["order"], ctx["dmin"] = rk.chunk_order(
+            res_k["klo"], res_k["khi"], origin)
+        ctx["sh_res"] = rk.shared_rows_res(res_k["gt"], res_k["ci"],
+                                           origin, cfg.d)
+    if "kern_gt" in arrs:
+        from . import pallas_kernels as pk
+        ctx["sh_kern"] = pk.shared_rows(arrs["kern_gt"], arrs["kern_ci"],
+                                        origin, cfg.d)
+    return ctx
+
+
 def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
-               active=None, stats=None):
+               active=None, stats=None, pctx=None):
     """Nearest-opaque + top-K transparent trace over the triangle pool and
     solids.  Returns a dict of per-ray results.
 
@@ -218,10 +239,15 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
     rays).  ``active`` masks rays out of the trace entirely (bounce rays
     whose weight died); with the resident kernel, live rays are compacted
     to the front so fully-dead ray blocks terminate immediately.
-    ``stats`` (optional dict) accumulates instrumentation counters."""
+    ``stats`` (optional dict) accumulates instrumentation counters.
+    ``pctx`` (from primary_ctx) carries the frame-level shared-origin
+    precomputes so per-tile calls don't recompute them."""
     R = o.shape[0]
     d = cfg.d
     K = cfg.max_transparent_hits if cfg.has_transparency else 0
+
+    if shared_origin is not None and pctx is None:
+        pctx = primary_ctx(arrs, cfg, shared_origin)
 
     if _kernel2t_ok(arrs, cfg, R):
         from . import resident_kernels as rk
@@ -229,13 +255,13 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         res_k["opa"] = arrs["res_opa"]
         skip_local = skip - arrs["tri_base"]
         if shared_origin is not None:
-            order, dmin = rk.chunk_order(res_k["klo"], res_k["khi"],
-                                         shared_origin)
+            order, dmin = pctx["order"], pctx["dmin"]
+            sh = pctx["sh_res"]
         else:
-            order = dmin = None
+            order = dmin = sh = None
         kt, kid, ktt, ktid, vis = rk.nearest_hit_transparent(
             res_k, o, dirs, skip_local, d, K, order=order, dmin=dmin,
-            active=active)
+            active=active, sh=sh)
         _stat(stats, "rays_traced",
               R if active is None else jnp.sum(active.astype(jnp.int32)))
         _stat(stats, "chunks_visited", jnp.sum(vis))
@@ -250,13 +276,14 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         )
         return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
 
-    # kernel choice (measured on the 120-cell, v5e): the HBM-streaming grid
-    # kernel has the lowest per-triangle cost and wins when every ray is
-    # live (the primary trace); the VMEM-resident walk wins for secondary
-    # work, where compaction lets all-dead ray blocks exit immediately.
-    # Pools beyond the VMEM budget always use the double-buffered HBM walk.
-    use_res = _kernel2_ok(arrs, cfg, R) and (
-        active is not None or not _kernel_ok(arrs, cfg, R))
+    # kernel choice (measured on the 120-cell, v5e): with 32x16-px tiled
+    # ray blocks + the shared-origin rows, the VMEM-resident front-to-back
+    # walk beats the streaming grid kernel for the primary trace too
+    # (62 vs 73 ms @1024^2), and compaction makes it win for secondary
+    # work.  The grid kernel remains for d > C_PAD pools (no resident
+    # layout).  Pools beyond the VMEM budget use the double-buffered HBM
+    # walk.
+    use_res = _kernel2_ok(arrs, cfg, R)
     use_hbm = _kernel2h_ok(arrs, cfg, R)
     if use_res or use_hbm:
         from . import resident_kernels as rk
@@ -264,10 +291,10 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         res_k = _res_dict(arrs)
         skip_local = skip - arrs["tri_base"]
         if shared_origin is not None:
-            order, dmin = rk.chunk_order(res_k["klo"], res_k["khi"],
-                                         shared_origin)
+            order, dmin = pctx["order"], pctx["dmin"]
+            sh = pctx["sh_res"]
         else:
-            order = dmin = None
+            order = dmin = sh = None
         if active is not None:
             # wavefront compaction (SURVEY §7): live rays first, so
             # all-dead trailing blocks exit the chunk walk at step 0
@@ -275,12 +302,12 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
             inv = jnp.argsort(perm)
             kt, kid, vis = nearest(
                 res_k, o[perm], dirs[perm], skip_local[perm], d,
-                order=order, dmin=dmin, active=active[perm])
+                order=order, dmin=dmin, active=active[perm], sh=sh)
             kt, kid = kt[inv], kid[inv]
             _stat(stats, "rays_traced", jnp.sum(active.astype(jnp.int32)))
         else:
             kt, kid, vis = nearest(res_k, o, dirs, skip_local, d,
-                                   order=order, dmin=dmin)
+                                   order=order, dmin=dmin, sh=sh)
             _stat(stats, "rays_traced", R)
         _stat(stats, "chunks_visited", jnp.sum(vis))
         carry = dict(
@@ -296,7 +323,8 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
                     k_any=arrs["kern_kany"], b_lo=arrs["kern_blo"],
                     b_hi=arrs["kern_bhi"])
         skip_local = skip - arrs["tri_base"]
-        kt, kid = pk.nearest_hit(kern, o, dirs, skip_local, d)
+        sh = None if shared_origin is None else pctx["sh_kern"]
+        kt, kid = pk.nearest_hit(kern, o, dirs, skip_local, d, sh=sh)
         _stat(stats, "rays_traced", R)
         carry = dict(
             t=jnp.where(kid >= 0, kt, REAL_MAX),
@@ -795,13 +823,15 @@ def aabb_distance(cfg, arrs, o, dirs):
 # Full per-tile ray color with bounce loop
 # ---------------------------------------------------------------------------
 
-def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False):
+def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False,
+               pctx=None):
     """Color of R rays (ray_color, tracer.hpp:1856-1883) with reflections
     unrolled into a weighted bounce loop.
 
     ``with_stats=True`` additionally returns a dict of instrumentation
     counters (rays traced, chunks visited, shadow rays — the analogue of
-    the reference's PROFILE_CODE timers, instrumentation.hpp:4-53)."""
+    the reference's PROFILE_CODE timers, instrumentation.hpp:4-53).
+    ``pctx`` is the frame-level primary-trace context (primary_ctx)."""
     R = o.shape[0]
     out = jnp.zeros((R, 3), f32)
     weight = jnp.ones((R, 3), f32)
@@ -819,7 +849,7 @@ def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False):
         res = trace_pool(arrs, cfg, o, dirs, skip,
                          shared_origin=o[0] if depth == 0 else None,
                          active=None if depth == 0 else active,
-                         stats=stats)
+                         stats=stats, pctx=pctx if depth == 0 else None)
         dist = aabb_distance(cfg, arrs, o, dirs)
         hit = res["hit"] & (dist >= 0)
         live = hit if depth == 0 else (hit & active)
@@ -898,12 +928,13 @@ def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
 
 
 TILE_W, TILE_H = 32, 16  # ray-block footprint: one 512-ray block = 32x16 px
+MAX_GROUP_TILES = 64     # rays per fused dispatch <= 64*TILE = 2M (memory)
 
 
-def _ray_coords(start, w):
-    """Pixel coordinates for one TILE-ray dispatch starting at linear pixel
-    ``start`` (a multiple of TILE, with TILE divisible by ``w`` when the
-    swizzle applies).
+def _ray_coords(start, w, count=TILE):
+    """Pixel coordinates for one ``count``-ray dispatch starting at linear
+    pixel ``start`` (a multiple of ``count``... both multiples of the row
+    length when the swizzle applies).
 
     When the frame geometry allows it, rays are ordered in TILE_W x TILE_H
     pixel tiles so each 512-ray kernel block covers a compact 2-D region
@@ -911,9 +942,9 @@ def _ray_coords(start, w):
     traversal kernels).  Returns (xs, ys, swz) where ``swz`` (or None)
     gathers the computed colors back to linear pixel order before packing.
     """
-    idx = start + jnp.arange(TILE, dtype=jnp.int32)
-    if w % TILE_W == 0 and TILE % w == 0 and (TILE // w) % TILE_H == 0:
-        j = jnp.arange(TILE, dtype=jnp.int32)
+    idx = start + jnp.arange(count, dtype=jnp.int32)
+    if w % TILE_W == 0 and count % w == 0 and (count // w) % TILE_H == 0:
+        j = jnp.arange(count, dtype=jnp.int32)
         tpr = w // TILE_W
         tile = j // (TILE_W * TILE_H)
         within = j % (TILE_W * TILE_H)
@@ -980,17 +1011,31 @@ def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
     of the previous slab."""
     from . import packing
     fovI, half_w, half_h = fov_params
+    pctx = primary_ctx(arrs, cfg, cam_origin)
 
-    def tile(start):
-        xs, ys, swz = _ray_coords(start, w)
+    # one fused dispatch per ray group: a lax.map over TILE-sized pieces
+    # re-enters the Pallas kernels per piece, which costs ~0.6 ms of
+    # setup each (measured: 32 x 32k-ray tiles were ~20 ms slower than a
+    # single 1M-ray call).  Groups are capped so huge frames bound their
+    # working-set memory.
+    group_tiles = min(n_tiles, MAX_GROUP_TILES)
+    while n_tiles % group_tiles:
+        group_tiles -= 1
+    count = group_tiles * TILE
+
+    def group(start):
+        xs, ys, swz = _ray_coords(start, w, count)
         o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
-        colors = ray_colors(arrs, cfg, dyn, o, dirs)
+        colors = ray_colors(arrs, cfg, dyn, o, dirs, pctx=pctx)
         if swz is not None:
             colors = colors[swz]
         return packing.pack_device(colors, key)
 
-    starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * TILE
-    out = jax.lax.map(tile, starts)
+    n_groups = n_tiles // group_tiles
+    if n_groups == 1:
+        return group(base)
+    starts = base + jnp.arange(n_groups, dtype=jnp.int32) * count
+    out = jax.lax.map(group, starts)
     return out.reshape(n_tiles * TILE, -1)
 
 
@@ -998,16 +1043,23 @@ def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
 def _frame_packed_box(d, cam_origin, cam_t, fov_params, base, w, n_tiles,
                       key):
     from . import packing
+    group_tiles = min(n_tiles, MAX_GROUP_TILES)
+    while n_tiles % group_tiles:
+        group_tiles -= 1
+    count = group_tiles * TILE
 
-    def tile(start):
-        xs, ys, swz = _ray_coords(start, w)
+    def group(start):
+        xs, ys, swz = _ray_coords(start, w, count)
         colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
         if swz is not None:
             colors = colors[swz]
         return packing.pack_device(colors, key)
 
-    starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * TILE
-    out = jax.lax.map(tile, starts)
+    n_groups = n_tiles // group_tiles
+    if n_groups == 1:
+        return group(base)
+    starts = base + jnp.arange(n_groups, dtype=jnp.int32) * count
+    out = jax.lax.map(group, starts)
     return out.reshape(n_tiles * TILE, -1)
 
 
@@ -1018,11 +1070,13 @@ def _frame_stats_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
     traced, pool chunks visited/skipped, shadow rays issued — the
     per-stage analogue of the reference's PROFILE_CODE timers."""
     fovI, half_w, half_h = fov_params
+    pctx = primary_ctx(arrs, cfg, cam_origin)
 
     def tile(start):
         xs, ys, _swz = _ray_coords(start, w)
         o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
-        _, stats = ray_colors(arrs, cfg, dyn, o, dirs, with_stats=True)
+        _, stats = ray_colors(arrs, cfg, dyn, o, dirs, with_stats=True,
+                              pctx=pctx)
         return stats
 
     starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE

@@ -180,6 +180,7 @@ def build_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
         arrs_l["sol_base"] = jnp.int32(cfg.n_tris)
         fovI, half_w, half_h = fov_params
         base = start + jax.lax.axis_index("px").astype(jnp.int32) * per_shard
+        pctx = wavefront.primary_ctx(arrs_l, cfg, cam_origin)
 
         def tile(t0):
             idx = t0 + jnp.arange(ts, dtype=jnp.int32)
@@ -187,7 +188,7 @@ def build_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
             ys = (idx // width).astype(f32)
             o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h,
                                 xs, ys)
-            colors = ray_colors(arrs_l, cfg, dyn, o, dirs)
+            colors = ray_colors(arrs_l, cfg, dyn, o, dirs, pctx=pctx)
             return packing.pack_device(colors, key)
 
         starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * ts

@@ -318,3 +318,42 @@ def test_hbm_resident_path_matches_xla(monkeypatch):
     scene._device_cache = (cfg, no_k, flat)
     eng2 = wavefront.render_strip_composite(scene, F, 0, h)
     assert float(np.abs(eng - eng2).max()) < 2e-5
+
+
+def test_shared_origin_rows_bit_identical():
+    """The shared-origin fast path (per-triangle origin dots hoisted out of
+    the inner loop, pallas_kernels.shared_rows / resident_kernels.
+    shared_rows_res) must produce BIT-IDENTICAL hits and distances to the
+    per-ray kernels: it computes the same float ops in the same order, once
+    per frame instead of once per ray."""
+    scene = _scene_big()
+    n = rk.RAY_BLOCK * 2
+    cfg, device, res, o, dirs = _res_and_rays(scene, n)
+    skip = jnp.full((n,), -1, jnp.int32)
+    origin = jnp.asarray(scene._cam._origin, jnp.float32)
+
+    order, dmin = rk.chunk_order(res["klo"], res["khi"], origin)
+    kt, kid, _ = rk.nearest_hit(res, o, dirs, skip, cfg.d,
+                                order=order, dmin=dmin)
+    sh = rk.shared_rows_res(res["gt"], res["ci"], origin, cfg.d)
+    kt2, kid2, _ = rk.nearest_hit(res, o, dirs, skip, cfg.d,
+                                  order=order, dmin=dmin, sh=sh)
+    assert np.array_equal(np.asarray(kid), np.asarray(kid2))
+    m = np.asarray(kid) >= 0
+    assert np.array_equal(np.asarray(kt)[m], np.asarray(kt2)[m])  # bitwise
+
+    # grid kernel variant
+    arrs = {k: np.asarray(v) for k, v in device.items()}
+    flat_lo = arrs["ck_lo"]
+    kern = pk.prepare_tri_arrays(
+        arrs["tri_p1"], arrs["tri_fn"], arrs["tri_en"], arrs["tri_dc"],
+        np.repeat(flat_lo, wavefront.CHUNK, axis=0)[: cfg.n_tris],
+        np.repeat(arrs["ck_hi"], wavefront.CHUNK, axis=0)[: cfg.n_tris],
+        cfg.d)
+    kern = {k: jnp.asarray(v) for k, v in kern.items()}
+    gt_, gid_ = pk.nearest_hit(kern, o, dirs, skip, cfg.d)
+    shg = pk.shared_rows(kern["gt"], kern["ci"], origin, cfg.d)
+    gt2_, gid2_ = pk.nearest_hit(kern, o, dirs, skip, cfg.d, sh=shg)
+    assert np.array_equal(np.asarray(gid_), np.asarray(gid2_))
+    mg = np.asarray(gid_) >= 0
+    assert np.array_equal(np.asarray(gt_)[mg], np.asarray(gt2_)[mg])
