@@ -331,31 +331,46 @@ def _chunk_hits_vals(d, ck, shared, g, ci, idrow, o8, d8, skip):
     return t, valid
 
 
-def _nearest_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
+def _nearest_kernel(d, ck, shared, SB, o_ref, dir_ref, skip_ref, init_t_ref,
                     order_ref, neff_ref, klo_t_ref, khi_t_ref,
                     gt_ref, ci_ref, ids_ref,
                     out_t_ref, out_id_ref, count_ref,
                     best_t, best_id):
-    """Per-ray state lives in VMEM scratch mutated under ``pl.when``; the
-    while carry holds only scalars.  (Carrying (RAY_BLOCK, 1) vectors
-    through lax.while_loop + lax.cond miscompiled on real TPUs: whole ray
-    blocks lost their hits while interpret mode was exact.)
+    """Per-ray state lives in VMEM scratch mutated in place; the while
+    carry holds only scalars.  (Carrying (RAY_BLOCK, 1) vectors through
+    lax.while_loop + lax.cond miscompiled on real TPUs: whole ray blocks
+    lost their hits while interpret mode was exact.)
 
     Control flow: all chunk entry lower bounds are precomputed in ONE
     lane-parallel pass (``_entry_min_all``, (1, ncp) in visit order), and
-    the walk jumps straight between candidate chunks via a masked reduce
-    (``find_next``).  A serial per-iteration entry test on (R, d)-shaped
+    the walk jumps straight between candidate chunks via masked reduces
+    (``find4``).  A serial per-iteration entry test on (R, d)-shaped
     arrays wastes ~94% of the VPU lanes and was measured to DOMINATE the
     kernel (walk time was flat in the pair-test count); with the
-    vectorized scan, skipped chunks cost nothing and only candidates pay
-    the exact per-ray slab test."""
-    o8 = o_ref[:]                 # (RAY_BLOCK, 8) zero-padded coords
-    d8 = dir_ref[:]
-    skip = skip_ref[:]
+    vectorized scan, skipped chunks cost nothing.
 
-    best_t[:] = init_t_ref[:]
-    best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    ``SB`` independent RAY_BLOCK walks run per grid step: each grid step
+    costs ~2.4-3.5 us of fixed overhead (measured with a copy-only
+    kernel), so batching sub-blocks amortizes it."""
     n_eff = neff_ref[0]
+    for sb in range(SB):
+        _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
+                      init_t_ref, order_ref, klo_t_ref, khi_t_ref,
+                      gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
+                      count_ref, best_t, best_id)
+
+
+def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
+                  init_t_ref, order_ref, klo_t_ref, khi_t_ref,
+                  gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
+                  count_ref, best_t, best_id):
+    sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+    o8 = o_ref[sl]                # (RAY_BLOCK, 8) zero-padded coords
+    d8 = dir_ref[sl]
+    skip = skip_ref[sl]
+
+    best_t[:] = init_t_ref[sl]
+    best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
 
     # min-over-rays entry bound for EVERY chunk position, in ORDER space
     emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
@@ -421,9 +436,9 @@ def _nearest_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     _, _, _, visited = jax.lax.while_loop(
         lambda s: s[2], body,
         (iv12, iv34, iv12 // (SENT + 1) < SENT, jnp.int32(0)))
-    out_t_ref[:] = best_t[:]
-    out_id_ref[:] = best_id[:]
-    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_t_ref[sl] = best_t[:]
+    out_id_ref[sl] = best_id[:]
+    count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -456,18 +471,26 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
 
+    # sub-blocks per grid step: each step costs ~2.4-3.5 us of fixed
+    # overhead, so two independent walks share one step.  (Mosaic stack-
+    # allocates the unrolled walks' temporaries separately — SB=8 blew the
+    # 16 MB scoped-vmem limit at 28.5 MB.)
+    SB = 2 if ni % 2 == 0 else 1
+    ni //= SB
+    RB = SB * RAY_BLOCK
+
     out_t, out_id, counts = pl.pallas_call(
-        partial(_nearest_kernel, d, ck, sh is not None),
+        partial(_nearest_kernel, d, ck, sh is not None, SB),
         grid=(ni,),
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
+            pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
+            pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # order
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
@@ -483,11 +506,11 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
