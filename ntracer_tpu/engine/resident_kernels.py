@@ -825,8 +825,15 @@ def _occl_t_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
         hit = jnp.any(valid & opaq, axis=1, keepdims=True)
         blocked[:] = jnp.where(hit, 1, blocked[:])
         tr = valid & jnp.logical_not(opaq)
-        filt[:] = filt[:] * jnp.prod(
-            jnp.where(tr, 1.0 - op, 1.0), axis=1, keepdims=True)
+        # lane product via a binary tree: Mosaic has no reduce_prod
+        # lowering (jnp.prod fails to compile on real TPUs)
+        v = jnp.where(tr, 1.0 - op, 1.0)
+        w = ck
+        while w > 1:
+            assert w % 2 == 0
+            w //= 2
+            v = v[:, :w] * v[:, w:2 * w]
+        filt[:] = filt[:] * v
 
         return nxt, nxt < BIG_POS, visited + 1
 

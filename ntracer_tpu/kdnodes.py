@@ -328,9 +328,18 @@ def _leaf_occludes(leaf: KDLeaf, o, dvec, ldistance, skip, hits) -> bool:
     return False
 
 
+# The reference's occlusion walk returns "not occluded" whenever the near
+# child misses and the split plane is closer than the light (tracer.hpp:1298)
+# — for infinite-distance (global) lights that skips every far child, missing
+# real occluders.  The port keeps it (reference-exact, the default); the
+# TPU engine uses true any-hit semantics, and scripts/tpu_parity.py flips
+# this flag to validate the engine against exact occlusion.
+OCCLUDES_EARLY_OUT = True
+
+
 def _occludes(node, o, dvec, invdir, ldistance, skip, hits, t_near, t_far) -> bool:
     """_occludes (tracer.hpp:1258-1307), ported exactly including the
-    ``t < ldistance`` early-out."""
+    ``t < ldistance`` early-out (see OCCLUDES_EARLY_OUT)."""
     while node is not None:
         if isinstance(node, KDLeaf):
             return _leaf_occludes(node, o, dvec, ldistance, skip, hits)
@@ -368,7 +377,7 @@ def _occludes(node, o, dvec, invdir, ldistance, skip, hits, t_near, t_far) -> bo
                     return True
 
             assert n_far is not None
-            if t < ldistance:
+            if OCCLUDES_EARLY_OUT and t < ldistance:
                 return False
             t_near = t
             node = n_far

@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Engine-vs-oracle parity on the REAL TPU across feature mixes.
+
+The interpret-mode test suite runs the same comparisons on CPU; this script
+is the hardware gate (TPU-only numerics differences have bitten before —
+e.g. the bf16 matmul default).  For each scene it renders a full frame
+through the production engine (BlockingRenderer) and compares sampled
+pixels' 8-bit values against the scalar oracle.
+
+    python scripts/tpu_parity.py [--out PARITY_TPU.json] [--samples N]
+
+Scenes: opaque pool (resident kernel), shadows + point light (occlusion
+kernel), reflections (bounce loop + compaction), transparency (K-buffer
+kernels), solids + triangles mixed, d=5 pool, HBM-path pool (VMEM budget
+forced down), and a d=10 generic-path scene.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+from ntracer import NTracer, Material, ImageFormat, Channel, BlockingRenderer
+
+
+def _mesh_scene(d, n, mat, seed=3, lights=False, shadows=False):
+    nt = NTracer(d)
+    rng = np.random.RandomState(seed)
+    protos = []
+    for _ in range(n):
+        base = rng.uniform(-2, 2, d)
+        pts = [nt.Vector(*(base + rng.uniform(-0.7, 0.7, d)))
+               for _ in range(d)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector.axis(2, -8))
+    scene.set_camera(cam)
+    if lights:
+        scene.add_light(nt.PointLight(nt.Vector.axis(1, 5), (1, 0.9, 0.7)))
+        scene.add_light(nt.GlobalLight(nt.Vector.axis(0, -1), (0.2, 0.2, 0.3)))
+    scene.set_shadows(shadows)
+    return nt, scene
+
+
+def scenes():
+    yield "opaque d=3", _mesh_scene(3, 700, Material((1, 0.5, 0.5)))[1]
+
+    _, s = _mesh_scene(3, 700, Material((0.9, 0.6, 0.3)), lights=True,
+                       shadows=True)
+    yield "shadows d=3", s
+
+    _, s = _mesh_scene(3, 500, Material((0.8, 0.8, 0.9), reflectivity=0.4),
+                       lights=True, shadows=True)
+    yield "reflective d=3", s
+
+    # The reference records ONE transparent hit per TriangleBatch per leaf
+    # (the nearest lane, tracer.hpp:1011-1012), so its transparent output
+    # depends on the batch packing — BATCH_SIZE=4 SSE builds differ from
+    # AVX builds and from this package's 8-wide oracle.  The engine keeps
+    # every transparent surface (physically exact).  Build this scene
+    # unbatched so the oracle's semantics coincide with the engine's.
+    from ntracer_tpu import kdtree as _kdt
+    _grp = _kdt.group_primitives
+    _kdt.group_primitives = lambda prims: list(prims)
+    try:
+        _, s = _mesh_scene(3, 500, Material((0.7, 0.8, 1.0), opacity=0.45),
+                           lights=True, shadows=True)
+    finally:
+        _kdt.group_primitives = _grp
+    yield "transparent d=3", s
+
+    nt, s = _mesh_scene(4, 600, Material((1, 0.6, 0.4)))
+    yield "opaque d=4", s
+
+    nt = NTracer(4)
+    mat = Material((0.9, 0.9, 0.5))
+    from ntracer import CUBE, SPHERE
+    protos = [
+        nt.SolidPrototype(CUBE, nt.Vector(1.2, 0, 0, 0),
+                          nt.Matrix.scale(0.8), mat),
+        nt.SolidPrototype(SPHERE, nt.Vector(-1.2, 0, 0, 0),
+                          nt.Matrix.identity(), Material((0.4, 0.9, 0.6))),
+    ]
+    # The reference's build-time solid boundaries negate ``position``
+    # (PARITY.md defect 6) — build_kdtree places offset solids on the
+    # wrong side of the tree and rays never find them.  The engine tests
+    # solids directly and renders them correctly.  To compare shared
+    # semantics, hand-build a single-leaf tree (always visited, like the
+    # reference's own test_kdtree pattern) instead of running the SAH
+    # build.
+    rng = np.random.RandomState(11)
+    for _ in range(12):
+        base = rng.uniform(-2, 2, 4) + np.array([0, 2.5, 0, 0])
+        pts = [nt.Vector(*(base + rng.uniform(-0.5, 0.5, 4)))
+               for _ in range(4)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+    prims = [p.primitive for p in protos]
+    s = nt.CompositeScene(nt.AABB((-4.0, -4.0, -4.0, -4.0),
+                                  (4.0, 4.0, 4.0, 4.0)),
+                          nt.KDLeaf(prims))
+    cam = nt.Camera()
+    cam.translate(nt.Vector.axis(2, -7))
+    s.set_camera(cam)
+    yield "solids+tris d=4", s
+
+    _, s = _mesh_scene(5, 400, Material((0.6, 0.9, 0.8)))
+    yield "opaque d=5", s
+
+    from ntracer_tpu.engine import resident_kernels as rk
+    saved = rk.POOL_VMEM_BUDGET
+    rk.POOL_VMEM_BUDGET = 4096          # force the HBM streaming path
+    try:
+        _, s = _mesh_scene(3, 900, Material((1, 0.7, 0.6)), seed=8)
+        yield "hbm-path d=3", s
+    finally:
+        rk.POOL_VMEM_BUDGET = saved
+
+    nt = NTracer(10, force_generic=True)
+    rng = np.random.RandomState(5)
+    protos = []
+    for _ in range(40):
+        base = rng.uniform(-2, 2, 10)
+        pts = [nt.Vector(*(base + rng.uniform(-1.0, 1.0, 10)))
+               for _ in range(10)]
+        protos.append(nt.TrianglePrototype(pts, Material((0.8, 0.5, 0.9))))
+    s = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector.axis(2, -9))
+    s.set_camera(cam)
+    yield "generic d=10", s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_TPU.json"))
+    ap.add_argument("--samples", type=int, default=48)
+    ap.add_argument("--size", type=int, default=192)
+    args = ap.parse_args()
+
+    import jax
+    backend = jax.default_backend()
+
+    # the engine uses true any-hit occlusion; the oracle default ports the
+    # reference's early-out defect (kdnodes.OCCLUDES_EARLY_OUT).  Compare
+    # against exact semantics here.
+    from ntracer_tpu import kdnodes
+    kdnodes.OCCLUDES_EARLY_OUT = False
+    W = H = args.size
+    fmt = ImageFormat(W, H, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                             Channel(8, 0, 0, 1)])
+    results = []
+    ok_all = True
+    for name, scene in scenes():
+        buf = bytearray(fmt.pitch * fmt.height)
+        BlockingRenderer().render(buf, fmt, scene)
+        img = np.frombuffer(bytes(buf), np.uint8).reshape(H, W, 3)
+
+        scene._set_view_size(W, H)
+        rng = np.random.RandomState(0)
+        xs = rng.randint(0, W, args.samples)
+        ys = rng.randint(0, H, args.samples)
+        bad = []
+        for x, y in zip(xs, ys):
+            oracle = np.asarray(scene._pixel_color(int(x), int(y)),
+                                np.float32)
+            o8 = np.clip(np.floor(oracle * 255 + 0.5), 0, 255).astype(np.uint8)
+            got = img[int(y), int(x)]
+            if not np.array_equal(o8, got):
+                bad.append([int(x), int(y), o8.tolist(), got.tolist()])
+        row = dict(scene=name, samples=args.samples, mismatches=len(bad),
+                   nonzero_px=int((img.sum(axis=2) > 0).sum()))
+        if bad:
+            row["bad"] = bad[:5]
+        # tolerate at most one 8-bit quantization-boundary pixel per scene
+        if len(bad) > 1:
+            ok_all = False
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = dict(backend=backend, size=args.size, results=results, ok=ok_all)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(("PASS" if ok_all else "FAIL"), "->", args.out, flush=True)
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()

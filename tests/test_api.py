@@ -470,3 +470,52 @@ def test_parallel_kd_build_deterministic():
     _, _, r0 = nt.build_kdtree(list(protos), 0)
     _, _, r4 = nt.build_kdtree(list(protos), 4)
     assert tree_sig(r0, []) == tree_sig(r4, [])
+
+
+def test_group_window_quality():
+    """The greedy batching's bounded candidate scan (GROUP_WINDOW) is a
+    perf-only deviation from the reference's O(n^2) pass
+    (tracer.hpp:2395-2427); quantify the quality loss: total combined-AABB
+    surface of the windowed batches must be within 10% of the exhaustive
+    scan's."""
+    import numpy as np
+    from ntracer_tpu import kdtree
+    from ntracer_tpu.wrapper import NTracer
+    from ntracer_tpu.render import Material
+
+    nt = NTracer(3)
+    mat = Material((1, 1, 1))
+    rng = np.random.RandomState(17)
+    protos = []
+    for _ in range(1200):
+        base = rng.uniform(-4, 4, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.3, 0.3, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+
+    def total_surface(groups):
+        tot = 0.0
+        for g in groups:
+            ext = (g.boundary._end - g.boundary._start).astype(np.float64)
+            d = len(ext)
+            for i in range(d):
+                s = 1.0
+                for j in range(d):
+                    if i != j:
+                        s *= ext[j]
+                tot += s
+        return tot
+
+    win = kdtree.GROUP_WINDOW
+    try:
+        kdtree.GROUP_WINDOW = 96
+        windowed = total_surface(kdtree.group_primitives(protos))
+        kdtree.GROUP_WINDOW = 10 ** 9
+        exhaustive = total_surface(kdtree.group_primitives(protos))
+    finally:
+        kdtree.GROUP_WINDOW = win
+
+    assert exhaustive > 0
+    ratio = windowed / exhaustive
+    print(f"group window quality ratio: {ratio:.4f}")
+    assert ratio < 1.10
