@@ -385,20 +385,24 @@ def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
     # duplicate-free by construction, tail slots masked via SENT.
     SENT = jnp.int32((1 << 14) - 1)                       # 16383
 
-    def find4(k0v):
-        """Positions of the next 4 candidates >= k0v ((1,1) vector), as
-        two packed (1,1) vectors [c1*2^14+c2, c3*2^14+c4]; SENT fills."""
+    P_CAND = 4  # candidate chunks selected per iteration (2 per scalar);
+    # 8 was measured neutral-to-worse: the stale bound fetches more
+    # extra chunks than the saved iterations recoup
+
+    def find_cands(k0v):
+        """Positions of the next P_CAND candidates >= k0v ((1,1) vector)
+        as P_CAND/2 packed (1,1) vectors [c_odd*2^14 + c_even]; SENT
+        fills."""
         bound = jnp.max(best_t[:], axis=0, keepdims=True)   # (1, 1)
         cand = (emin < bound) & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
-        c1 = jnp.min(cp, axis=1, keepdims=True)
-        cp = jnp.where(posi > c1, cp, SENT)
-        c2 = jnp.min(cp, axis=1, keepdims=True)
-        cp = jnp.where(posi > c2, cp, SENT)
-        c3 = jnp.min(cp, axis=1, keepdims=True)
-        cp = jnp.where(posi > c3, cp, SENT)
-        c4 = jnp.min(cp, axis=1, keepdims=True)
-        return c1 * (SENT + 1) + c2, c3 * (SENT + 1) + c4
+        cs = []
+        for _ in range(P_CAND):
+            c = jnp.min(cp, axis=1, keepdims=True)
+            cs.append(c)
+            cp = jnp.where(posi > c, cp, SENT)
+        return tuple(cs[i] * (SENT + 1) + cs[i + 1]
+                     for i in range(0, P_CAND, 2))
 
     def chunk_pass(kpos, live):
         """One unconditional chunk visit; ``live`` masks tail slots."""
@@ -414,28 +418,27 @@ def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
         return live.astype(jnp.int32)
 
     def body(state):
-        p12, p34, _, visited = state
+        packed = state[:-2]
+        visited = state[-1]
+        last = packed[-1]
         # next candidates are scanned with the PRE-update bound (at worst
-        # a few extra chunks) so the two scalar extractions overlap the
-        # four chunk passes below
-        n12, n34 = find4(jnp.maximum(p34 % (SENT + 1),
-                                     p34 // (SENT + 1)) + 1)
-        k1, k2 = p12 // (SENT + 1), p12 % (SENT + 1)
-        k3, k4 = p34 // (SENT + 1), p34 % (SENT + 1)
-        visited = visited + chunk_pass(k1, k1 < SENT)
-        visited = visited + chunk_pass(k2, k2 < SENT)
-        visited = visited + chunk_pass(k3, k3 < SENT)
-        visited = visited + chunk_pass(k4, k4 < SENT)
-        nv12 = n12[0, 0]
-        nv34 = n34[0, 0]
-        return nv12, nv34, nv12 // (SENT + 1) < SENT, visited
+        # a few extra chunks) so the scalar extractions overlap the chunk
+        # passes below
+        nxt = find_cands(jnp.maximum(last % (SENT + 1),
+                                     last // (SENT + 1)) + 1)
+        for pv in packed:
+            ka, kb = pv // (SENT + 1), pv % (SENT + 1)
+            visited = visited + chunk_pass(ka, ka < SENT)
+            visited = visited + chunk_pass(kb, kb < SENT)
+        nv = tuple(v[0, 0] for v in nxt)
+        return nv + (nv[0] // (SENT + 1) < SENT, visited)
 
-    i12, i34 = find4(jnp.zeros((1, 1), jnp.int32))
-    iv12 = i12[0, 0]
-    iv34 = i34[0, 0]
-    _, _, _, visited = jax.lax.while_loop(
-        lambda s: s[2], body,
-        (iv12, iv34, iv12 // (SENT + 1) < SENT, jnp.int32(0)))
+    iv = tuple(v[0, 0]
+               for v in find_cands(jnp.zeros((1, 1), jnp.int32)))
+    st = jax.lax.while_loop(
+        lambda s: s[-2], body,
+        iv + (iv[0] // (SENT + 1) < SENT, jnp.int32(0)))
+    visited = st[-1]
     out_t_ref[sl] = best_t[:]
     out_id_ref[sl] = best_id[:]
     count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)

@@ -99,6 +99,52 @@ class BoxScene(Scene):
         return wavefront.render_strip_box(self, fmt, y0, nrows)
 
 
+class _LightList:
+    """Sequence view over a scene's lights (ntracer_body.hpp:620-630:
+    ``PointLightList``/``GlobalLightList``): mutations go through the
+    scene's lock discipline and invalidate its device cache."""
+
+    _item_type = None
+
+    def __init__(self, scene, items):
+        self._scene = scene
+        self._items = items
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+    def __iter__(self):
+        return iter(self._items)
+
+    def append(self, light):
+        if not isinstance(light, self._item_type):
+            raise TypeError("object must be an instance of "
+                            + self._item_type.__name__)
+        if light.dimension != self._scene.dimension:
+            raise TypeError(
+                "the light must have the same dimension as the scene")
+        self._scene._mutate()
+        self._items.append(light)
+
+    def extend(self, lights):
+        for li in lights:
+            self.append(li)
+
+    def __repr__(self):
+        return f"<{type(self).__name__} {self._items!r}>"
+
+
+class PointLightList(_LightList):
+    _item_type = PointLight
+
+
+class GlobalLightList(_LightList):
+    _item_type = GlobalLight
+
+
 class CompositeScene(Scene):
     """K-d tree scene with lights, shadows, reflections and transparency
     (tracer.hpp:1710-1927)."""
@@ -122,8 +168,8 @@ class CompositeScene(Scene):
         self.bg2 = Color(0, 0, 0)
         self.bg3 = Color(0, 1, 1)
         self._cam = Camera(d)
-        self.point_lights = []
-        self.global_lights = []
+        self._point_lights = []
+        self._global_lights = []
         self._src = None
         self._version = 0
         self._device_cache = None
@@ -208,13 +254,21 @@ class CompositeScene(Scene):
         if isinstance(light, PointLight):
             if light.dimension != self.dimension:
                 raise TypeError("the light must have the same dimension as the scene")
-            self.point_lights.append(light)
+            self._point_lights.append(light)
         elif isinstance(light, GlobalLight):
             if light.dimension != self.dimension:
                 raise TypeError("the light must have the same dimension as the scene")
-            self.global_lights.append(light)
+            self._global_lights.append(light)
         else:
             raise TypeError("object must be an instance of PointLight or GlobalLight")
+
+    @property
+    def point_lights(self):
+        return PointLightList(self, self._point_lights)
+
+    @property
+    def global_lights(self):
+        return GlobalLightList(self, self._global_lights)
 
     # --- scalar oracle ------------------------------------------------------
     def _set_view_size(self, w, h):
@@ -278,7 +332,7 @@ class CompositeScene(Scene):
         specular = np.zeros(3, dtype=f32)
         spec_a = f32(0)
 
-        for pl in self.point_lights:
+        for pl in self._point_lights:
             lv = (hit_point - pl._position).astype(f32)
             dist = vm.absolute(lv)
             lv = (lv / dist).astype(f32)
@@ -300,7 +354,7 @@ class CompositeScene(Scene):
                 else:
                     light += plc * strength * sine
 
-        for gl in self.global_lights:
+        for gl in self._global_lights:
             sine = -vm.dot(hit_normal, gl._direction)
             if sine > 0:
                 glc = np.asarray(list(gl.color), dtype=f32)
@@ -388,8 +442,8 @@ class CompositeScene(Scene):
         c.ambient, c.bg1, c.bg2, c.bg3 = (self.ambient, self.bg1, self.bg2,
                                           self.bg3)
         c._cam = self._cam.__copy__()
-        c.point_lights = list(self.point_lights)
-        c.global_lights = list(self.global_lights)
+        c._point_lights = list(self._point_lights)
+        c._global_lights = list(self._global_lights)
         return c
 
     def __deepcopy__(self, memo):

@@ -16,7 +16,7 @@ from .primitives import (Primitive, PrimitiveBatch, Triangle, TriangleBatch,
                          PointLight, GlobalLight, CUBE, SPHERE)
 from .kdnodes import KDNode, KDLeaf, KDBranch
 from .scene import (CompositeScene, BoxScene, build_kdtree,
-                    build_composite_scene)
+                    build_composite_scene, PointLightList, GlobalLightList)
 
 __all__ = [
     "Vector", "Matrix", "MatrixProxy", "Camera", "CameraAxes", "AABB",
@@ -27,4 +27,5 @@ __all__ = [
     "RayIntersection", "PointLight", "GlobalLight", "CUBE", "SPHERE",
     "KDNode", "KDLeaf", "KDBranch", "CompositeScene", "BoxScene",
     "build_kdtree", "build_composite_scene",
+    "PointLightList", "GlobalLightList",
 ]

@@ -10,7 +10,7 @@ import random
 import pytest
 
 from ntracer_tpu.wrapper import NTracer, CUBE, SPHERE
-from ntracer_tpu.render import Material, Color
+from ntracer_tpu.render import Material, Color, LockedError
 
 
 def pydot(a, b):
@@ -519,3 +519,36 @@ def test_group_window_quality():
     ratio = windowed / exhaustive
     print(f"group window quality ratio: {ratio:.4f}")
     assert ratio < 1.10
+
+
+def test_light_lists(generic):
+    """PointLightList/GlobalLightList sequence views
+    (ntracer_body.hpp:620-630): append/extend with type + dimension checks,
+    reflected in the scene; mutation respects the scene lock."""
+    nt = get_nt(3, generic)
+    mat = Material((1, 1, 1))
+    scene = nt.build_composite_scene([nt.TrianglePrototype(
+        [nt.Vector(1, 0, 0), nt.Vector(0, 1, 0), nt.Vector(0, 0, 1)], mat)])
+
+    pl = scene.point_lights
+    assert type(pl).__name__ == "PointLightList" and len(pl) == 0
+    pl.append(nt.PointLight(nt.Vector(0, 4, 0), (1, 1, 1)))
+    assert len(scene.point_lights) == 1
+    assert scene.point_lights[0].position[1] == 4
+
+    gl = scene.global_lights
+    gl.extend([nt.GlobalLight(nt.Vector(0, -1, 0), (0.2, 0.2, 0.2))])
+    assert len(scene.global_lights) == 1
+
+    with pytest.raises(TypeError):
+        pl.append(nt.GlobalLight(nt.Vector(0, -1, 0), (1, 1, 1)))
+    with pytest.raises(TypeError):
+        nt4 = get_nt(4, generic)
+        pl.append(nt4.PointLight(nt4.Vector(0, 4, 0, 0), (1, 1, 1)))
+
+    scene._lock()
+    try:
+        with pytest.raises(LockedError):
+            pl.append(nt.PointLight(nt.Vector(1, 1, 1), (1, 1, 1)))
+    finally:
+        scene._unlock()
