@@ -59,6 +59,19 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def _sub_blocks(ni):
+    """Independent RAY_BLOCK walks per grid step: each step costs
+    ~2.4-3.5 us of fixed overhead, so batching amortizes it.  Mosaic
+    stack-allocates the unrolled walks' temporaries separately (~3.5 MB
+    per 512-ray walk; 8x512 blew the 16 MB scoped-vmem limit at 28.5 MB),
+    so the count is bounded by a VMEM budget."""
+    per_walk = max(1, int(3.5e6 * RAY_BLOCK / 512))
+    sb = max(1, min(8, (10 * 1024 * 1024) // per_walk))
+    while sb > 1 and ni % sb:
+        sb -= 1
+    return sb
+
+
 def _pad8(n):
     return -(-n // 8) * 8
 
@@ -474,11 +487,7 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
 
-    # sub-blocks per grid step: each step costs ~2.4-3.5 us of fixed
-    # overhead, so two independent walks share one step.  (Mosaic stack-
-    # allocates the unrolled walks' temporaries separately — SB=8 blew the
-    # 16 MB scoped-vmem limit at 28.5 MB.)
-    SB = 2 if ni % 2 == 0 else 1
+    SB = _sub_blocks(ni)
     ni //= SB
     RB = SB * RAY_BLOCK
 
@@ -904,7 +913,10 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
 # is SURVEY §5's "node arrays streamed HBM->VMEM" scaling axis.
 # ---------------------------------------------------------------------------
 
-HBM_CK = 512   # bigger chunks amortize the per-DMA latency
+HBM_CK = 128   # tighter chunk boxes cull better; the walk's 8-slot deep
+# prefetch hides the extra per-DMA latency.  100k-mesh sweep: 128 -> 137
+# ms, 512 -> 153 ms, 256 -> 192 ms (2-vreg lane layouts are pathological
+# in Mosaic; the same non-monotonicity appeared in the VMEM CK sweep)
 
 
 def _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
@@ -978,6 +990,15 @@ def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                         out_t_ref, out_id_ref,
                         count_ref, best_t, best_id, gt_buf, ci_buf, ids_buf,
                         sems):
+    """HBM-pool walk with packed 4-candidate selection and 8-slot deep
+    prefetch.  Like the VMEM walk, these loops are bound by per-iteration
+    scalar syncs (~3.7 us each; the 100k-triangle mesh bench was flat
+    across every FLOP-level change), so each iteration selects FOUR
+    candidates with chained vector mins packed two-per-scalar, fetches
+    them into the inactive buffer group, and processes the previously
+    fetched group.  All pl.when predicates are already-extracted scalars
+    (position < SENT), which cost nothing."""
+    del dmin_ref  # the emin bound subsumes the dmin check
     o8 = o_ref[:]
     d8 = dir_ref[:]
     skip = skip_ref[:]
@@ -985,62 +1006,76 @@ def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     best_t[:] = init_t_ref[:]
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     n_eff = neff_ref[0]
-    nc_max = order_ref.shape[0] - 1
 
-    # conservative per-chunk candidacy: min-over-rays entry, in ORDER space
     emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
     ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+    SENT = jnp.int32((1 << 14) - 1)
 
-    def find_next(k0):
-        """First position >= k0 any ray might still need (single masked
-        reduce; the bound stays a (1, 1) vector so the only vector->scalar
-        transfer is the final masked min — per-iteration scalar syncs were
-        measured to dominate these walks)."""
-        bound = jnp.max(best_t[:], axis=0, keepdims=True)       # (1, 1)
-        cand = (emin < bound) & (posi >= k0) & (posi < n_eff)
-        return jnp.min(jnp.where(cand, posi, BIG_POS))
+    def find4(k0v):
+        bound = jnp.max(best_t[:], axis=0, keepdims=True)   # (1, 1)
+        cand = (emin < bound) & (posi >= k0v) & (posi < n_eff)
+        cp = jnp.where(cand, posi, SENT)
+        cs = []
+        for _ in range(4):
+            c = jnp.min(cp, axis=1, keepdims=True)
+            cs.append(c)
+            cp = jnp.where(posi > c, cp, SENT)
+        return cs[0] * (SENT + 1) + cs[1], cs[2] * (SENT + 1) + cs[3]
 
-    del nc_max, dmin_ref  # find_next's emin bound subsumes the dmin check
+    def unpack(p12, p34):
+        return (p12 // (SENT + 1), p12 % (SENT + 1),
+                p34 // (SENT + 1), p34 % (SENT + 1))
 
-    k0 = find_next(jnp.int32(0))
-    go0 = k0 < BIG_POS
+    def fetch4(ks, base):
+        for j, kj in enumerate(ks):
+            @pl.when(kj < SENT)
+            def _(kj=kj, j=j):
+                _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf,
+                           ids_buf, sems, order_ref[kj], base + j)
 
-    @pl.when(go0)
-    def _():
-        _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
-                   order_ref[jnp.minimum(k0, n_eff - 1)], jnp.int32(0))
+    def process4(ks, base, visited):
+        for j, kj in enumerate(ks):
+            @pl.when(kj < SENT)
+            def _(kj=kj, j=j):
+                slot = base + j
+                _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf,
+                          ids_buf, sems, slot)
+                idx = order_ref[kj]
+                t, valid = _chunk_hits_vals(
+                    d, ck, shared, gt_buf[slot], ci_buf[slot],
+                    ids_buf[slot][0:1, :], o8, d8, skip)
+                tm = jnp.where(valid, t, INF)
+                ct = jnp.min(tm, axis=1, keepdims=True)
+                carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
+                upd = ct < best_t[:]
+                best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
+                best_t[:] = jnp.where(upd, ct, best_t[:])
+            visited = visited + (kj < SENT).astype(jnp.int32)
+        return visited
+
+    i12, i34 = find4(jnp.zeros((1, 1), jnp.int32))
+    iv12 = i12[0, 0]
+    iv34 = i34[0, 0]
+    fetch4(unpack(iv12, iv34), jnp.int32(0))
 
     def body(state):
-        cur, slot, _, visited = state
-        # prefetch the next needed chunk while the current one computes;
-        # best_t hasn't absorbed the current chunk yet, so this is
-        # conservative (at worst one extra fetch)
-        nxt = find_next(cur + 1)
-        nslot = 1 - slot
-        nfound = nxt < BIG_POS
+        p12, p34, base, _, visited = state
+        ks = unpack(p12, p34)
+        # scan + fetch the NEXT group before waiting on the current one:
+        # the four DMAs land in the inactive buffer half while the four
+        # fetched chunks compute
+        n12, n34 = find4(jnp.maximum(ks[3], ks[0]) + 1)
+        nv12 = n12[0, 0]
+        nv34 = n34[0, 0]
+        nbase = 4 - base
+        fetch4(unpack(nv12, nv34), nbase)
+        visited = process4(ks, base, visited)
+        return nv12, nv34, nbase, nv12 // (SENT + 1) < SENT, visited
 
-        @pl.when(nfound)
-        def _():
-            _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf,
-                       sems, order_ref[nxt], nslot)
-
-        _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
-                  slot)
-        idx = order_ref[cur]
-        t, valid = _chunk_hits_vals(d, ck, shared, gt_buf[slot],
-                                    ci_buf[slot], ids_buf[slot][0:1, :],
-                                    o8, d8, skip)
-        tm = jnp.where(valid, t, INF)
-        ct = jnp.min(tm, axis=1, keepdims=True)
-        carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
-        upd = ct < best_t[:]
-        best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
-        best_t[:] = jnp.where(upd, ct, best_t[:])
-        return nxt, nslot, nfound, visited + 1
-
-    _, _, _, visited = jax.lax.while_loop(
-        lambda s: s[2], body, (k0, jnp.int32(0), go0, jnp.int32(0)))
+    _, _, _, _, visited = jax.lax.while_loop(
+        lambda s: s[3], body,
+        (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
     out_t_ref[:] = best_t[:]
     out_id_ref[:] = best_id[:]
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
@@ -1098,10 +1133,10 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
-            pltpu.VMEM((2, pr, ck), jnp.float32),
-            pltpu.VMEM((2, C_PAD, ck), jnp.float32),
-            pltpu.VMEM((2, C_PAD, ck), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((8, pr, ck), jnp.float32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.float32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.int32),
+            pltpu.SemaphoreType.DMA((8, 3)),
         ],
     )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
       klo_t, khi_t, res["gt"], ci, res["ids"])
