@@ -1151,6 +1151,10 @@ def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
                      gt_hbm, ci_hbm, ids_hbm,
                      out_ref, count_ref,
                      blocked, gt_buf, ci_buf, ids_buf, sems):
+    """HBM-pool occlusion with the same packed 4-candidate selection +
+    8-slot deep prefetch as _nearest_hbm_kernel.  lmax = 0 once every ray
+    resolves, so the candidate scan doubles as the liveness check; extra
+    visits are exact (per-ray ``t < ldist`` filtering)."""
     o8 = o_ref[:]
     d8 = dir_ref[:]
     skip = skip_ref[:]
@@ -1162,50 +1166,66 @@ def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
     ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+    SENT = jnp.int32((1 << 14) - 1)
 
-    def find_next(k0):
-        # the (1, 1) vector bound keeps the only vector->scalar transfer
-        # at the final masked min; lmax = 0 once every ray is resolved, so
-        # the result doubles as the liveness check
+    def find4(k0v):
         lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
                        axis=0, keepdims=True)                   # (1, 1)
-        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
-        return jnp.min(jnp.where(cand, posi, BIG_POS))
+        cand = (emin < lmax) & (posi >= k0v) & (posi < n_eff)
+        cp = jnp.where(cand, posi, SENT)
+        cs = []
+        for _ in range(4):
+            c = jnp.min(cp, axis=1, keepdims=True)
+            cs.append(c)
+            cp = jnp.where(posi > c, cp, SENT)
+        return cs[0] * (SENT + 1) + cs[1], cs[2] * (SENT + 1) + cs[3]
 
-    k0 = find_next(jnp.int32(0))
-    go0 = k0 < BIG_POS
+    def unpack(p12, p34):
+        return (p12 // (SENT + 1), p12 % (SENT + 1),
+                p34 // (SENT + 1), p34 % (SENT + 1))
 
-    @pl.when(go0)
-    def _():
-        _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
-                   order_ref[jnp.minimum(k0, n_eff - 1)], jnp.int32(0))
+    def fetch4(ks, base):
+        for j, kj in enumerate(ks):
+            @pl.when(kj < SENT)
+            def _(kj=kj, j=j):
+                _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf,
+                           ids_buf, sems, order_ref[kj], base + j)
+
+    def process4(ks, base, visited):
+        for j, kj in enumerate(ks):
+            @pl.when(kj < SENT)
+            def _(kj=kj, j=j):
+                slot = base + j
+                _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf,
+                          ids_buf, sems, slot)
+                t, valid = _chunk_hits_vals(
+                    d, ck, False, gt_buf[slot], ci_buf[slot],
+                    ids_buf[slot][0:1, :], o8, d8, skip)
+                valid &= t < ldist
+                hit = jnp.any(valid, axis=1, keepdims=True)
+                blocked[:] = jnp.where(hit, 1, blocked[:])
+            visited = visited + (kj < SENT).astype(jnp.int32)
+        return visited
+
+    i12, i34 = find4(jnp.zeros((1, 1), jnp.int32))
+    iv12 = i12[0, 0]
+    iv34 = i34[0, 0]
+    fetch4(unpack(iv12, iv34), jnp.int32(0))
 
     def body(state):
-        cur, slot, _, visited = state
-        nxt = find_next(cur + 1)
-        nslot = 1 - slot
-        nfound = nxt < BIG_POS
+        p12, p34, base, _, visited = state
+        ks = unpack(p12, p34)
+        n12, n34 = find4(jnp.maximum(ks[3], ks[0]) + 1)
+        nv12 = n12[0, 0]
+        nv34 = n34[0, 0]
+        nbase = 4 - base
+        fetch4(unpack(nv12, nv34), nbase)
+        visited = process4(ks, base, visited)
+        return nv12, nv34, nbase, nv12 // (SENT + 1) < SENT, visited
 
-        @pl.when(nfound)
-        def _():
-            _hbm_fetch(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf,
-                       sems, order_ref[nxt], nslot)
-
-        _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf, ids_buf, sems,
-                  slot)
-        t, valid = _chunk_hits_vals(d, ck, False, gt_buf[slot],
-                                    ci_buf[slot], ids_buf[slot][0:1, :],
-                                    o8, d8, skip)
-        valid &= t < ldist
-        hit = jnp.any(valid, axis=1, keepdims=True)
-        blocked[:] = jnp.where(hit, 1, blocked[:])
-        # nfound was computed before this chunk's hits (conservative: the
-        # prefetched chunk may be computed once after every ray resolves;
-        # the next find_next sees lmax = 0 and exits)
-        return nxt, nslot, nfound, visited + 1
-
-    _, _, _, visited = jax.lax.while_loop(
-        lambda s: s[2], body, (k0, jnp.int32(0), go0, jnp.int32(0)))
+    _, _, _, _, visited = jax.lax.while_loop(
+        lambda s: s[3], body,
+        (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
     out_ref[:] = blocked[:]
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
@@ -1250,10 +1270,10 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
         ],
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
-            pltpu.VMEM((2, pr, ck), jnp.float32),
-            pltpu.VMEM((2, C_PAD, ck), jnp.float32),
-            pltpu.VMEM((2, C_PAD, ck), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((8, pr, ck), jnp.float32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.float32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.int32),
+            pltpu.SemaphoreType.DMA((8, 3)),
         ],
     )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
       klo_t, khi_t, res["gt"], res["ci"], res["ids"])

@@ -119,7 +119,8 @@ def scenes():
     saved = rk.POOL_VMEM_BUDGET
     rk.POOL_VMEM_BUDGET = 4096          # force the HBM streaming path
     try:
-        _, s = _mesh_scene(3, 900, Material((1, 0.7, 0.6)), seed=8)
+        _, s = _mesh_scene(3, 900, Material((1, 0.7, 0.6)), seed=8,
+                           lights=True, shadows=True)
         yield "hbm-path d=3", s
     finally:
         rk.POOL_VMEM_BUDGET = saved
