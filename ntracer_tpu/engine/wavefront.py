@@ -766,9 +766,11 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
         cl = jnp.maximum(sine, 0.0)
         light += cl[:, None]
         # camera-light specular block (tracer.hpp:1830-1838), masked like
-        # add_specular
+        # add_specular.  The base is clamped non-negative, so plain
+        # jnp.power equals _powf bit-for-bit without its negative-base
+        # sign/NaN handling (~6 elementwise passes over the frame).
         mask = (sine > 0) & (spec_int != 0)
-        base = _powf(jnp.maximum(sine, 0.0), spec_exp) * spec_int
+        base = jnp.power(jnp.maximum(sine, 0.0), spec_exp) * spec_int
         new_s = specular + mspec * (base * (1 - spec_a))[:, None]
         new_a = spec_a + base * (1 - spec_a)
         new_s = new_s * new_a[:, None]
