@@ -441,7 +441,10 @@ def main():
             for f in range(args.frames):
                 renderer.render(buf, fmt, scene)
                 img = np.frombuffer(bytes(buf), np.uint8).reshape(h, w, 3)
-                Image.fromarray(img).save(f"{args.output}{f:04d}.png")
+                # the reference writes frame0000.png... into the output
+                # DIRECTORY (polytope.py:650-652)
+                Image.fromarray(img).save(
+                    os.path.join(args.output, f"frame{f:04d}.png"))
                 advance_camera()
                 print(f"frame {f+1}/{args.frames}", end="\r")
             print()

@@ -7,7 +7,8 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 from ntracer_tpu.wrapper import NTracer
 from ntracer_tpu.render import (Material, ImageFormat, Channel,
@@ -115,3 +116,23 @@ def test_float_channel_format():
     assert BlockingRenderer().render(buf, fmt, scene)
     vals = np.frombuffer(bytes(buf), dtype=">f4").reshape(h, w)
     assert np.isfinite(vals).all() and vals.max() <= 1.0
+
+
+def test_polytope_png_output(tmp_path):
+    """polytope.py --output DIR -t png writes frame0000.png... into the
+    directory (reference polytope.py:650-652; a path-concatenation bug
+    once wrote mangled names next to the directory instead)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "anim"
+    out.mkdir()
+    env = dict(os.environ, JAX_PLATFORMS="cpu", SDL_VIDEODRIVER="dummy")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "polytope.py"),
+         "4", "3", "--output", str(out), "-t", "png", "-s", "48x48",
+         "-f", "1"],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["frame0000.png"]
