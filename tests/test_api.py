@@ -4,6 +4,7 @@ generic/specialized duality (every geometry test runs with the fixed-d and
 the force_generic module paths).
 """
 
+import os
 import pickle
 import random
 
@@ -552,3 +553,27 @@ def test_light_lists(generic):
             pl.append(nt.PointLight(nt.Vector(1, 1, 1), (1, 1, 1)))
     finally:
         scene._unlock()
+
+
+def test_reference_suite_passes():
+    """Run the ORIGINAL package's own unittest suite
+    (/root/reference/lib/ntracer/tests/test.py) against this package —
+    the strongest API-compatibility statement available.  The file is
+    loaded from the reference tree at runtime (nothing is copied); only
+    its two relative imports are rewritten to absolute ones."""
+    import types
+    import unittest
+
+    ref = "/root/reference/lib/ntracer/tests/test.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not available")
+    with open(ref) as f:
+        src = f.read()
+    src = src.replace("from ..wrapper import", "from ntracer.wrapper import")
+    src = src.replace("from ..render import", "from ntracer.render import")
+    mod = types.ModuleType("reference_suite")
+    exec(compile(src, ref, "exec"), mod.__dict__)
+    suite = unittest.defaultTestLoader.loadTestsFromModule(mod)
+    result = unittest.TextTestRunner(verbosity=0).run(suite)
+    assert result.testsRun >= 10
+    assert not result.failures and not result.errors
