@@ -10,24 +10,32 @@ traversal with t-clipping (tracer.hpp:1179-1243):
   * the whole pool lives in VMEM for the duration of a ray block (pools up
     to a few MB — every benchmark scene and typical OBJ meshes; larger
     pools fall back to the streaming kernels),
-  * chunks follow k-d leaf order (spatially tight AABBs) and are visited
-    front-to-back via a per-frame permutation sorted by distance from the
-    shared ray origin — data-dependent *VMEM addressing*, not block DMA,
-    so it cannot defeat input double-buffering (the round-1 regression),
-  * a ``while`` loop terminates as soon as every ray's best hit is closer
-    than the minimum possible entry distance of all remaining chunks
-    (exact for shared-origin rays: ``dmin`` = point-to-AABB distance), and
-    each chunk is additionally skipped when no ray's slab-entry beats its
-    current best (the t-clipping of kd_node_intersection),
+  * chunks are visited front-to-back via a per-frame permutation sorted
+    by distance from the shared ray origin — data-dependent *VMEM
+    addressing*, not block DMA, so it cannot defeat input
+    double-buffering (the round-1 regression),
+  * every chunk's min-over-rays entry bound is precomputed in ONE
+    lane-parallel pass (``_entry_min_all``), and the walk jumps straight
+    between candidate chunks via packed masked reduces (``find4``/
+    ``find_cands``: 4 positions, 2 per extracted scalar).  These walks
+    are bound by per-iteration vector→scalar syncs (~3 us each; kernel
+    time was FLAT across an 8x pair-test sweep until the syncs were
+    batched), NOT by pair-test FLOPs — see CLAUDE.md,
+  * for primary rays (one shared camera origin per frame) the origin dot
+    products and edge bounds are hoisted to per-triangle rows computed
+    once per frame (``shared_rows*``) — bit-exact, half the hot-loop
+    FLOPs,
   * plane dot products accumulate coordinate-by-coordinate on the VPU in
     the same order as the scalar oracle (an MXU f32 matmul — even at
     Precision.HIGHEST — rounds differently and flips ~0.2% of
     ROUNDING_FUZZ-edge hits; measured, so the MXU stays off this path).
 
 Chunk size CK is a compile-time parameter: smaller chunks give tighter
-AABBs (more culling) at more per-chunk fixed cost.  Per-ray-block
+AABBs (more culling) at more per-chunk fixed cost (128 measured best;
+256's 2-vreg lane layout is pathological in Mosaic).  Per-ray-block
 visited-chunk counts are returned for instrumentation (the analogue of
-instrumentation.hpp:4-53).
+instrumentation.hpp:4-53).  The ``dmin`` wrapper arguments are retained
+for call compatibility but the emin candidate scan subsumes them.
 """
 
 from __future__ import annotations
