@@ -581,18 +581,26 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None):
         from . import resident_kernels as rk
         res_k = _res_dict(arrs)
         skip_local = skip - arrs["tri_base"]
-        live = ldist > 0
+        # No pool hit can lie beyond the pool AABB's exit distance, so the
+        # exit is a valid finite cutoff: directional-light shadow rays
+        # (ldist=REAL_MAX, tracer.hpp:1759) get per-ray early termination
+        # instead of walking chunks to pool exhaustion.  Solids are tested
+        # against the ORIGINAL ldist in _occlusion_finish.
+        exit_t = rk._scene_exit(o, dirs, res_k["b_lo"], res_k["b_hi"])
+        pool_ldist = jnp.minimum(ldist, exit_t)
+        live = pool_ldist > 0
         perm = jnp.argsort(jnp.where(live, 0, 1))
         inv = jnp.argsort(perm)
         if cfg.has_transparency:
             res_k["opa"] = arrs["res_opa"]
             blk, flt, vis = rk.occluded_transparent(
-                res_k, o[perm], dirs[perm], ldist[perm], skip_local[perm], d)
+                res_k, o[perm], dirs[perm], pool_ldist[perm],
+                skip_local[perm], d)
             flt = flt[inv]
         else:
             occ = rk.occluded_hbm if _kernel2h_ok(arrs, cfg, R) \
                 else rk.occluded
-            blk, vis = occ(res_k, o[perm], dirs[perm], ldist[perm],
+            blk, vis = occ(res_k, o[perm], dirs[perm], pool_ldist[perm],
                            skip_local[perm], d)
             flt = jnp.ones((R,), f32)
         _stat(stats, "shadow_rays", jnp.sum(live.astype(jnp.int32)))
@@ -1343,11 +1351,14 @@ def get_device_scene(scene):
                     bins = rk.centroid_bins(arrs["cull_lo"],
                                             arrs["cull_hi"], fn_norm,
                                             rk.HBM_CK)
-                    res = rk.prepare_resident_cells(
-                        bins, arrs["tri_p1"], arrs["tri_fn"],
-                        arrs["tri_en"], arrs["tri_dc"], arrs["cull_lo"],
-                        arrs["cull_hi"], d, ck=rk.HBM_CK)
-                    res_hbm = True
+                    if len(bins) < rk.MAX_CHUNKS:
+                        res = rk.prepare_resident_cells(
+                            bins, arrs["tri_p1"], arrs["tri_fn"],
+                            arrs["tri_en"], arrs["tri_dc"], arrs["cull_lo"],
+                            arrs["cull_hi"], d, ck=rk.HBM_CK)
+                        res_hbm = True
+                    # else: > MAX_CHUNKS chunks would overflow the packed
+                    # 14-bit candidate encoding; fall back to the XLA scan
             if res is not None:
                 if flat.config.has_transparency and not res_hbm:
                     # (transparent big pools use the chunked XLA path)

@@ -11,7 +11,7 @@ Host-side (NumPy) port of the reference build pipeline:
 
 The output feeds both the Python KD node objects (oracle traversal) and the
 flattened device arrays for the TPU engine.  The hot path is the native C++
-builder (csrc/kd_builder.cpp), parallelized with a bounded thread pool like
+builder (ntracer_tpu/csrc/kd_builder.cpp), parallelized with a bounded thread pool like
 the reference's kd_node_worker_pool (tracer.hpp:2131-2271) and controlled by
 the user-visible ``extra_threads``; this NumPy implementation is the
 fallback and stays single-threaded.
@@ -571,7 +571,7 @@ def build_tree(prototypes, params: KDTreeParams, make_leaf, make_branch,
 
     grouped = group_primitives(prototypes) if group else list(prototypes)
 
-    # native C++ SAH builder (csrc/kd_builder.cpp); NumPy fallback below
+    # native C++ SAH builder (ntracer_tpu/csrc/kd_builder.cpp); NumPy fallback below
     from . import native
     root = native.build_tree_native(grouped, params, make_leaf, make_branch,
                                     extra_threads=extra_threads)

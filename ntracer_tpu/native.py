@@ -1,7 +1,7 @@
 """ctypes bridge to the native (C++) SAH k-d builder.
 
 The reference builds its tree in multithreaded C++ (tracer.hpp:2131-2455);
-our equivalent native component is csrc/kd_builder.cpp, compiled on first
+our equivalent native component is ntracer_tpu/csrc/kd_builder.cpp, compiled on first
 use (g++ is part of the image).  ntracer_tpu/kdtree.py calls
 ``build_tree_native`` and falls back to the NumPy builder when the library
 is unavailable or ``NTRACER_NO_NATIVE`` is set.
@@ -22,7 +22,7 @@ _lock = threading.Lock()
 _lib = None
 _lib_tried = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csrc", "kd_builder.cpp")
 
 

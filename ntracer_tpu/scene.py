@@ -119,13 +119,40 @@ class _LightList:
     def __iter__(self):
         return iter(self._items)
 
-    def append(self, light):
+    def _check(self, light):
         if not isinstance(light, self._item_type):
             raise TypeError("object must be an instance of "
                             + self._item_type.__name__)
         if light.dimension != self._scene.dimension:
             raise TypeError(
                 "the light must have the same dimension as the scene")
+
+    def _norm_index(self, i):
+        if i < 0:
+            i += len(self._items)
+        if not 0 <= i < len(self._items):
+            raise IndexError("index out of range")
+        return i
+
+    def __setitem__(self, i, light):
+        # cs_light_list_setitem (ntracer_body.hpp:3131-3146): lock check,
+        # then in-place replacement
+        self._check(light)
+        i = self._norm_index(i)
+        self._scene._mutate()
+        self._items[i] = light
+
+    def __delitem__(self, i):
+        # deletion swaps with the last element then pops (the reference's
+        # sq_ass_item with value=NULL, ntracer_body.hpp:3142-3144)
+        i = self._norm_index(i)
+        self._scene._mutate()
+        if i != len(self._items) - 1:
+            self._items[i] = self._items[-1]
+        self._items.pop()
+
+    def append(self, light):
+        self._check(light)
         self._scene._mutate()
         self._items.append(light)
 

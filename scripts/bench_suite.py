@@ -187,6 +187,45 @@ else:
 # 4: 6-D hypercube slice @ 1024^2
 report("6D hypercube 1024x1024", 1024, 1024, *box_config(6, 1024, 1024, F))
 
+# 4b: 6-D LIT scene — point lights + a directional light with shadows ON
+# (BASELINE.md config 4 "point lights"; the box configs are analytic and
+# never exercise the occlusion kernels).  Same RNG geometry under both
+# implementations, built through each package's own builder.
+def lit_config(d, w, h, frames, n=900, seed=3):
+    nt = NTracer(d)
+    mat = Material((0.9, 0.6, 0.3))
+    rng = np.random.RandomState(seed)
+    protos = []
+    for _ in range(n):
+        base = rng.uniform(-2, 2, d)
+        pts = [nt.Vector(*(base + rng.uniform(-0.7, 0.7, d)))
+               for _ in range(d)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+    scene = nt.build_composite_scene(protos)
+    camera = nt.Camera()
+    cam_distance = -8.0
+    camera.translate(nt.Vector.axis(2, cam_distance))
+    scene.set_camera(camera)
+    scene.add_light(nt.PointLight(nt.Vector.axis(1, 5), (1, 0.9, 0.7)))
+    scene.add_light(nt.PointLight(nt.Vector.axis(0, -5), (0.4, 0.5, 0.9)))
+    scene.add_light(nt.GlobalLight(nt.Vector.axis(1, -1), (0.2, 0.2, 0.3)))
+    scene.set_shadows(True)
+    fmt = rgb_format(w, h)
+    buf = bytearray(fmt.pitch * fmt.height)
+    r = BlockingRenderer()
+    r.render(buf, fmt, scene)  # warmup / compile
+    sec = rotating(nt, scene, camera, cam_distance, frames, fmt, buf, r)
+    dev = on_device_sec(scene, fmt, frames)
+    counters = None
+    if not args.reference:
+        from ntracer_tpu.engine import wavefront
+        counters = wavefront.frame_stats(scene, w, h)
+    pipe = pipelined_sec(nt, scene, camera, cam_distance, frames, fmt)
+    return sec, dev, counters, pipe
+
+report("6D lit+shadows 1024x1024", 1024, 1024,
+       *lit_config(6, 1024, 1024, max(F // 2, 2)))
+
 # 5: 10-D hypercube @ 1920x1080 (generic var-dimension path)
 report("10D hypercube 1920x1080", 1920, 1080,
        *box_config(10, 1920, 1080, max(F // 2, 2)))

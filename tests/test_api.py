@@ -547,12 +547,37 @@ def test_light_lists(generic):
         nt4 = get_nt(4, generic)
         pl.append(nt4.PointLight(nt4.Vector(0, 4, 0, 0), (1, 1, 1)))
 
+    # item assignment + deletion (cs_light_list_setitem,
+    # ntracer_body.hpp:3131-3146: del swaps with the last element, then pops)
+    pl.append(nt.PointLight(nt.Vector(5, 5, 5), (1, 0, 0)))
+    pl.append(nt.PointLight(nt.Vector(6, 6, 6), (0, 1, 0)))
+    assert len(pl) == 3
+    pl[1] = nt.PointLight(nt.Vector(7, 7, 7), (0, 0, 1))
+    assert scene.point_lights[1].position[0] == 7
+    assert pl[-1].position[0] == 6
+    del pl[0]  # swaps last (6,6,6) into slot 0
+    assert len(pl) == 2
+    assert pl[0].position[0] == 6 and pl[1].position[0] == 7
+    del pl[-1]
+    assert len(pl) == 1 and pl[0].position[0] == 6
+    with pytest.raises(TypeError):
+        pl[0] = nt.GlobalLight(nt.Vector(0, -1, 0), (1, 1, 1))
+    with pytest.raises(IndexError):
+        pl[5] = nt.PointLight(nt.Vector(1, 1, 1), (1, 1, 1))
+    with pytest.raises(IndexError):
+        del pl[-2]
+
     scene._lock()
     try:
         with pytest.raises(LockedError):
             pl.append(nt.PointLight(nt.Vector(1, 1, 1), (1, 1, 1)))
+        with pytest.raises(LockedError):
+            pl[0] = nt.PointLight(nt.Vector(1, 1, 1), (1, 1, 1))
+        with pytest.raises(LockedError):
+            del pl[0]
     finally:
         scene._unlock()
+    assert len(pl) == 1
 
 
 def test_reference_suite_passes():

@@ -192,6 +192,9 @@ def test_engine_resident_path_matches_oracle(monkeypatch):
     cam.translate(nt.Vector.axis(2, -8))
     scene.set_camera(cam)
     scene.add_light(nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)))
+    # a directional light exercises the finite occlusion cutoff (the
+    # REAL_MAX ldist is clamped to the pool-AABB exit inside occlusion())
+    scene.add_light(nt.GlobalLight(nt.Vector(0.3, -1, 0.2), (0.3, 0.3, 0.3)))
     scene.set_shadows(True)
 
     cfg, device, _ = wavefront.get_device_scene(scene)
