@@ -1149,11 +1149,14 @@ def _write_pixels(view, fmt, data, start_px, total):
         p += n
 
 
-def render_packed(scene, fmt, view, abort_check) -> bool:
-    """Render a full frame into the writable byte ``view``.
+def dispatch_packed(scene, fmt):
+    """Dispatch one full frame asynchronously; returns a list of
+    ``(start_px, device_array)`` slabs whose pulls complete the frame.
 
-    Returns False when aborted (abort granularity is the frame once the
-    dispatch is in flight)."""
+    All scene state (geometry device arrays, camera, config) is captured
+    by the dispatch — the caller may mutate the scene again as soon as
+    this returns, which is what lets CallbackRenderer overlap frame N's
+    device-to-host pull with frame N+1's compute."""
     from . import packing
 
     scene._set_view_size(fmt.width, fmt.height)
@@ -1164,8 +1167,6 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
 
     total = fmt.width * fmt.height
     n_tiles = -(-total // TILE)
-    if abort_check():
-        return False
 
     # multi-chip: shard pixels over every device by default, mirroring the
     # reference renderer's threads = hardware cores (render.cpp:565-571)
@@ -1183,11 +1184,7 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
         else:
             dev = fn(arrs, _scene_dyn(scene), cam_origin, cam_t, fov,
                      jnp.int32(0))
-        if abort_check():
-            return False
-        data = np.asarray(dev)
-        _write_pixels(view, fmt, data, 0, total)
-        return True
+        return [(0, dev)]
 
     # split into a few slabs so the next slab's compute overlaps the
     # previous slab's device-to-host pull; small frames use one slab (each
@@ -1203,31 +1200,48 @@ def render_packed(scene, fmt, view, abort_check) -> bool:
     if hasattr(scene, "_device_cache"):
         cfg, device, _flat = get_device_scene(scene)
         dyn = _scene_dyn(scene)
-        slabs = [_frame_packed_composite(device, cfg, dyn, cam_origin,
+        return [(s0 * TILE,
+                 _frame_packed_composite(device, cfg, dyn, cam_origin,
                                          cam_t, fov, jnp.int32(s0 * TILE),
-                                         fmt.width, nt_, key)
-                 for s0, nt_ in slab_tiles]
-    else:
-        slabs = [_frame_packed_box(scene.dimension, cam_origin, cam_t, fov,
-                                   jnp.int32(s0 * TILE), fmt.width, nt_, key)
-                 for s0, nt_ in slab_tiles]
+                                         fmt.width, nt_, key))
+                for s0, nt_ in slab_tiles]
+    return [(s0 * TILE,
+             _frame_packed_box(scene.dimension, cam_origin, cam_t, fov,
+                               jnp.int32(s0 * TILE), fmt.width, nt_, key))
+            for s0, nt_ in slab_tiles]
 
-    import os
-    import time
-    profile = os.environ.get("NTRACER_PROFILE")
-    t_dispatch = time.perf_counter()
 
-    for (s0, _nt), dev in zip(slab_tiles, slabs):
+def pull_packed(slabs, fmt, view, abort_check) -> bool:
+    """Pull dispatched slabs into the writable byte ``view``; returns
+    False when aborted (granularity: between slab pulls)."""
+    total = fmt.width * fmt.height
+    for start_px, dev in slabs:
         if abort_check():
             return False
         data = np.asarray(dev)  # D2H; later slabs still computing
-        _write_pixels(view, fmt, data, s0 * TILE, total)
-    if profile:
+        _write_pixels(view, fmt, data, start_px, total)
+    return True
+
+
+def render_packed(scene, fmt, view, abort_check) -> bool:
+    """Render a full frame into the writable byte ``view``.
+
+    Returns False when aborted (abort granularity is the frame once the
+    dispatch is in flight)."""
+    import os
+    import time
+    if abort_check():
+        return False
+    profile = os.environ.get("NTRACER_PROFILE")
+    t_dispatch = time.perf_counter()
+    slabs = dispatch_packed(scene, fmt)
+    ok = pull_packed(slabs, fmt, view, abort_check)
+    if profile and ok:
         # instrumentation analogue of the reference's PROFILE_CODE timers
         print(f"[ntracer_tpu] frame {fmt.width}x{fmt.height}: "
-              f"{len(slab_tiles)} slab(s), compute+pull "
+              f"{len(slabs)} slab(s), compute+pull "
               f"{(time.perf_counter() - t_dispatch) * 1000:.1f} ms")
-    return True
+    return ok
 
 
 def _box_colors(d, cam_origin, cam_t, fov_params, xs, ys):

@@ -75,6 +75,79 @@ def _pad_pool(arrs, cfg, n_prim):
 _TRI_KEYS = ("tri_p1", "tri_fn", "tri_en", "tri_dc", "tri_mat",
              "tri_opacity", "ck_lo", "ck_hi", "ck_nonempty")
 
+# resident-kernel layout keys with a leading per-shard axis (P("prim"));
+# squeezed back to shard-local shapes inside shard_fn
+_RES_MAP = dict(res_gt="gt", res_ci="ci", res_ids="ids", res_klo="klo",
+                res_khi="khi", res_blo="b_lo", res_bhi="b_hi",
+                res_neff="n_eff", res_order="base_order", res_opa="opa")
+
+
+def _shard_layouts(arrs, cull_lo, cull_hi, cfg, n_prim, per_shard, d):
+    """Per-shard Pallas resident layouts (VERDICT r2 item 4): each shard's
+    pool slice gets its own centroid-bin cells with LOCAL slot ids, so the
+    kernel walk runs unchanged per shard under shard_map — the reference's
+    scene kernel is likewise identical under any thread count
+    (tracer.hpp:1179-1243).  Shards are padded to a common chunk count and
+    stacked along a leading ``prim`` axis.
+
+    Returns (stacked_arrays, is_hbm) — ({} , False) when kernels are
+    unavailable (d too large, not a TPU/forced run, empty pool)."""
+    import os
+    from ..engine import resident_kernels as rk
+
+    if d > rk.C_PAD:
+        return {}, False
+    if not (jax.default_backend() == "tpu"
+            or os.environ.get("NTRACER_FORCE_KERNELS")):
+        return {}, False
+
+    def bins_for(s, ck):
+        sl = slice(s * per_shard, (s + 1) * per_shard)
+        fn_norm = np.linalg.norm(np.asarray(arrs["tri_fn"][sl]), axis=1)
+        return rk.centroid_bins(cull_lo[sl], cull_hi[sl], fn_norm, ck)
+
+    ck = rk.CK
+    shard_bins = [bins_for(s, ck) for s in range(n_prim)]
+    nmax = max((len(b) for b in shard_bins), default=0)
+    if nmax == 0:
+        return {}, False
+    hbm = rk.pool_vmem_bytes(nmax * ck, d) > rk.POOL_VMEM_BUDGET
+    if hbm:
+        ck = rk.HBM_CK
+        shard_bins = [bins_for(s, ck) for s in range(n_prim)]
+        nmax = max(len(b) for b in shard_bins)
+    if nmax >= rk.MAX_CHUNKS:
+        return {}, False
+
+    per_res = []
+    for s, bins in enumerate(shard_bins):
+        sl = slice(s * per_shard, (s + 1) * per_shard)
+        res = rk.prepare_resident_cells(
+            bins, np.asarray(arrs["tri_p1"][sl]),
+            np.asarray(arrs["tri_fn"][sl]), np.asarray(arrs["tri_en"][sl]),
+            np.asarray(arrs["tri_dc"][sl]), cull_lo[sl], cull_hi[sl], d,
+            ck=ck)
+        if cfg.has_transparency and not hbm:
+            rk.add_opacity(res, np.asarray(arrs["tri_opacity"][sl]), ck=ck)
+        res["base_order"] = np.arange(nmax, dtype=np.int32)
+        per_res.append(res)
+
+    fills = dict(gt=0.0, ci=0.0, ids=-2, klo=rk.BIG, khi=-rk.BIG, opa=1.0)
+    out = {}
+    for key, src in _RES_MAP.items():
+        if src == "opa" and "opa" not in per_res[0]:
+            continue
+        stacked = []
+        for res in per_res:
+            a = res[src]
+            if src in fills and a.shape[0] < nmax:
+                pad = np.full((nmax - a.shape[0],) + a.shape[1:],
+                              fills[src], a.dtype)
+                a = np.concatenate([a, pad], axis=0)
+            stacked.append(a)
+        out[key] = np.stack(stacked)          # (n_prim, ...)
+    return out, hbm
+
 
 def build_sharded_renderer(scene, mesh: Mesh, tile: int):
     """Compile a frame-tile renderer sharded over ``mesh``.
@@ -82,7 +155,7 @@ def build_sharded_renderer(scene, mesh: Mesh, tile: int):
     Returns ``(fn, arrs)`` where ``fn(arrs, dyn, cam_origin, cam_t,
     fov_params, xs, ys) -> (tile, 3)`` and xs/ys have length ``tile``
     (divisible by the px axis size)."""
-    cfg, device, _ = wavefront.get_device_scene(scene)
+    cfg, device, flat = wavefront.get_device_scene(scene)
     n_px = mesh.shape["px"]
     n_prim = mesh.shape["prim"]
     if tile % n_px:
@@ -91,23 +164,38 @@ def build_sharded_renderer(scene, mesh: Mesh, tile: int):
     arrs = {k: np.asarray(v) for k, v in device.items()}
     arrs, cfg, per_shard = _pad_pool(arrs, cfg, n_prim)
     del arrs["tri_base"], arrs["sol_base"]
-    # The Pallas kern_*/res_* layouts describe the FULL pool; under
-    # shard_map each shard holds a per-shard pool slice, so replicating
-    # them would trace the whole pool with per-shard id offsets
-    # (wrong/duplicate global ids, mis-offset skips, bad geometry gathers).
-    # Drop them: the chunked XLA path handles sharded pools correctly.
+    # The FULL-pool Pallas layouts from get_device_scene are invalid under
+    # shard_map (per-shard pool slices); drop them and rebuild PER-SHARD
+    # resident layouts with local ids instead, so the kernel fast path
+    # survives tensor-parallel pools.
     for k in [k for k in arrs if k.startswith(("kern_", "res_"))]:
         del arrs[k]
+    t_new = per_shard * n_prim
+    cull_lo = np.asarray(flat.arrays["cull_lo"])
+    cull_hi = np.asarray(flat.arrays["cull_hi"])
+    if cull_lo.shape[0] < t_new:
+        grow = t_new - cull_lo.shape[0]
+        cull_lo = np.pad(cull_lo, [(0, grow), (0, 0)])
+        cull_hi = np.pad(cull_hi, [(0, grow), (0, 0)])
+    res_stacked, res_hbm = _shard_layouts(arrs, cull_lo, cull_hi, cfg,
+                                          n_prim, per_shard, cfg.d)
+    arrs.update(res_stacked)
+    if res_hbm:
+        arrs["res_is_hbm"] = np.asarray([1], np.int32)
 
     cfg_shard = dataclasses.replace(
         cfg,
         n_tris=per_shard,
         prim_axis="prim" if n_prim > 1 else None,
     )
-    specs = {k: (P("prim") if k in _TRI_KEYS else P()) for k in arrs}
+    specs = {k: (P("prim") if k in _TRI_KEYS or k in _RES_MAP else P())
+             for k in arrs}
 
     def shard_fn(arrs_l, dyn, cam_origin, cam_t, fov_params, xs, ys):
         arrs_l = dict(arrs_l)
+        for k in _RES_MAP:
+            if k in arrs_l:
+                arrs_l[k] = arrs_l[k][0]   # drop the size-1 shard axis
         if n_prim > 1:
             base = jax.lax.axis_index("prim").astype(jnp.int32) * per_shard
         else:

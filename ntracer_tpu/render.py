@@ -449,47 +449,86 @@ class BlockingRenderer(_RendererBase):
 
 
 class CallbackRenderer(_RendererBase):
-    """Asynchronous frame renderer: ``begin_render`` returns immediately and
-    the callback is invoked from a worker thread (render.cpp:651-766)."""
+    """Asynchronous frame renderer: ``begin_render`` returns after the
+    device dispatch and the callback is invoked from a worker thread once
+    the frame's bytes land in the buffer (render.cpp:651-766).
+
+    Like the reference (whose ``begin_render`` only enqueues a job,
+    render.cpp:651-700), several renders may be in flight at once; queued
+    frames are completed and called back in FIFO order.  Deviation from
+    the reference's lock window, documented: the scene is locked only for
+    the duration of the DISPATCH (all scene state — geometry device
+    arrays, camera, config — is captured by the dispatch; the in-flight
+    device computation cannot observe later host-side mutations, unlike
+    the reference's worker threads which read scene memory for the whole
+    render).  This is what lets an animation loop dispatch frame N+1 with
+    a moved camera while frame N's bytes are still crossing the host link
+    — frame N's pull overlaps frame N+1's compute (the bench_suite
+    "pipelined" pattern, now available to every app)."""
 
     def __init__(self, threads=0):
         super().__init__()
         self._threads = threads
         self._worker = None
         self._done = threading.Condition(self._mut)
+        self._queue = []
+        self._jobs = 0
 
     def begin_render(self, dest, format, scene, callback):
-        with self._mut:
-            if self._busy:
-                raise RuntimeError("the renderer is already running")
-            self._busy = True
-            self._abort = False
-        scene._lock()
+        from .engine import wavefront
 
-        def work():
-            aborted = False
-            try:
-                aborted = not self._draw(dest, format, scene)
-            finally:
-                scene._unlock()
-                with self._mut:
+        view = memoryview(dest)
+        if view.readonly:
+            raise BufferError("buffer is not writable")
+        view = view.cast("B")
+        _check_buffer_size(format, view)
+
+        scene._lock()
+        try:
+            slabs = wavefront.dispatch_packed(scene, format)
+        finally:
+            scene._unlock()
+
+        with self._mut:
+            self._busy = True
+            self._jobs += 1
+            self._queue.append((slabs, view, format, callback))
+            if self._worker is None:
+                self._worker = threading.Thread(target=self._run, daemon=True)
+                self._worker.start()
+            self._done.notify_all()
+
+    def _run(self):
+        # persistent pull worker (the reference parks its workers on a
+        # condition variable between jobs the same way, render.cpp:495-563)
+        from .engine import wavefront
+        while True:
+            with self._mut:
+                while not self._queue:
                     self._busy = False
-                    self._done.notify_all()
-            if not aborted:
+                    self._done.wait()
+                slabs, view, fmt, callback = self._queue.pop(0)
+            ok = False
+            try:
+                ok = wavefront.pull_packed(slabs, fmt, view,
+                                           lambda: self._abort)
+            finally:
+                with self._mut:
+                    self._jobs -= 1
+                    if not self._jobs:
+                        self._done.notify_all()
+            if ok:
                 try:
                     callback(self)
                 except Exception:
                     import traceback
                     traceback.print_exc()
 
-        self._worker = threading.Thread(target=work, daemon=True)
-        self._worker.start()
-
     def abort_render(self):
         with self._mut:
-            if self._busy:
+            if self._jobs:
                 self._abort = True
-                while self._busy:
+                while self._jobs:
                     self._done.wait()
             self._abort = False
 

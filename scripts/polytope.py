@@ -417,14 +417,33 @@ def main():
     buf = bytearray(fmt.pitch * fmt.height)
 
     if args.benchmark:
-        total = 0.0
+        # CallbackRenderer pipelining (the reference's --benchmark also
+        # runs through CallbackRenderer, polytope.py:522-537): frame N+1
+        # is dispatched with the advanced camera while frame N's bytes
+        # are still crossing the host link, so the pull overlaps compute.
+        import threading
+        from ntracer import CallbackRenderer
+        crenderer = CallbackRenderer()
+        depth = 3
+        bufs = [bytearray(fmt.pitch * fmt.height) for _ in range(depth)]
+        sem = threading.Semaphore(depth)
+        done = threading.Event()
         frames = 0
-        for _ in range(args.frames):
-            t0 = timer()
-            renderer.render(buf, fmt, scene)
-            total += timer() - t0
+
+        def cb(_r):
+            nonlocal frames
             frames += 1
+            if frames == args.frames:
+                done.set()
+            sem.release()
+
+        t0 = timer()
+        for f in range(args.frames):
+            sem.acquire()
+            crenderer.begin_render(bufs[f % depth], fmt, scene, cb)
             advance_camera()
+        done.wait()
+        total = timer() - t0
         print("rendered {0} frame(s) in {1} seconds\n"
               "time per frame: {2} seconds\n"
               "frames per second: {3}".format(

@@ -254,3 +254,91 @@ def test_pack_device_vs_host_bit_widths():
     dev = np.asarray(packing.pack_device(colors, packing.format_key(fmt)))
     host = packing.pack_rows(colors.reshape(64, 64, 3), fmt)
     assert np.array_equal(dev.reshape(64, -1), host)
+
+
+def test_callback_renderer_pipelined_queue():
+    """CallbackRenderer accepts several in-flight frames (the reference's
+    begin_render only enqueues a job, render.cpp:651-700); each queued
+    frame captures the camera at dispatch time, so an animation loop can
+    advance the camera between begin_render calls and every buffer must
+    match the BlockingRenderer frame for the same camera."""
+    import threading
+    from ntracer_tpu.render import (BlockingRenderer, CallbackRenderer,
+                                    ImageFormat, Channel)
+    from ntracer_tpu.wrapper import NTracer as _NT
+
+    nt = _NT(3)
+    scene = _random_scene(nt, n=12, seed=7)
+    cam = scene.get_camera()
+
+    w = h = 32
+    fmt = ImageFormat(w, h, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                             Channel(8, 0, 0, 1)])
+
+    def advance(k):
+        c = scene.get_camera()
+        c.transform(nt.Matrix.rotation(c.axes[0], c.axes[2], 0.3))
+        c.normalize()
+        scene.set_camera(c)
+
+    # reference frames via BlockingRenderer
+    blocking = []
+    br = BlockingRenderer()
+    for k in range(3):
+        buf = bytearray(fmt.pitch * fmt.height)
+        assert br.render(buf, fmt, scene)
+        blocking.append(bytes(buf))
+        advance(k)
+
+    # reset camera, queue all three through CallbackRenderer
+    scene.set_camera(cam)
+    cr = CallbackRenderer()
+    bufs = [bytearray(fmt.pitch * fmt.height) for _ in range(3)]
+    done = threading.Event()
+    calls = []
+
+    def cb(r):
+        calls.append(1)
+        if len(calls) == 3:
+            done.set()
+
+    for k in range(3):
+        cr.begin_render(bufs[k], fmt, scene, cb)
+        assert not scene.locked  # lock released after dispatch
+        advance(k)
+    assert done.wait(timeout=120)
+    for k in range(3):
+        assert bytes(bufs[k]) == blocking[k], f"frame {k} differs"
+
+    # abort with nothing queued is a no-op; abort after completion returns
+    cr.abort_render()
+
+
+def test_sharded_kernel_path_matches_single(monkeypatch):
+    """Tensor-parallel (prim-sharded) pools keep the Pallas kernel fast
+    path: per-shard resident layouts with local ids (VERDICT r2 item 4).
+    2x2 px-by-prim mesh, per-shard ray count a RAY_BLOCK multiple so the
+    kernels actually engage; output must match single-device."""
+    import jax
+    from ntracer_tpu.parallel import mesh as pmesh
+    from ntracer_tpu.engine import wavefront
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+
+    nt = NTracer(3)
+    scene = _random_scene(nt, n=600, seed=13)
+    w = h = 32
+    fmt = _Fmt(w, h)
+    scene._set_view_size(w, h)
+    single = wavefront.render_strip_composite(scene, fmt, 0, h)
+
+    m = pmesh.make_mesh(2, 2)
+    total = w * h
+    tile = -(-total // 2) * 2
+    fn, arrs = pmesh.get_sharded_renderer(scene, m, tile)
+    assert "res_gt" in arrs, "per-shard kernel layouts were not built"
+    assert arrs["res_gt"].shape[0] == 2  # one layout per prim shard
+    sharded = pmesh.render_frame(scene, fmt, m)
+    assert np.abs(single - sharded).max() < 1e-5
