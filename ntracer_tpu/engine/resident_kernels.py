@@ -14,9 +14,11 @@ traversal with t-clipping (tracer.hpp:1179-1243):
     by distance from the shared ray origin — data-dependent *VMEM
     addressing*, not block DMA, so it cannot defeat input
     double-buffering (the round-1 regression),
-  * every chunk's min-over-rays entry bound is precomputed in ONE
-    lane-parallel pass (``_entry_min_all``), and the walk jumps straight
-    between candidate chunks via packed masked reduces (``find4``/
+  * every (ray, chunk) slab-entry bound is precomputed in ONE
+    lane-parallel pass (``_entry_all``), the candidate scan applies the
+    EXACT per-ray bound ``entry[r,k] < best_t[r]`` (a resolved ray stops
+    forcing chunks immediately), and the walk jumps straight between
+    candidate chunks via packed masked reduces (``find4``/
     ``find_cands``: 4 positions, 2 per extracted scalar).  These walks
     are bound by per-iteration vector→scalar syncs (~3 us each; kernel
     time was FLAT across an 8x pair-test sweep until the syncs were
@@ -61,6 +63,19 @@ BIG = np.float32(3e37)
 # VMEM budget for the resident pool (bytes); leaves room for the
 # (RAY_BLOCK, CK) slabs and Mosaic's working set out of ~16 MB.
 POOL_VMEM_BUDGET = 8 * 1024 * 1024
+
+# The packed candidate walks encode chunk positions in 14 bits; pools with
+# more chunks than this must not use them (callers fall back to the
+# chunked XLA scan — see wavefront.get_device_scene).
+MAX_CHUNKS = (1 << 14) - 1
+
+
+def _check_nc(nc):
+    if nc >= MAX_CHUNKS:
+        raise ValueError(
+            f"pool has {nc} chunks >= {MAX_CHUNKS}: the packed candidate "
+            "walks encode chunk positions in 14 bits; prepare fewer, "
+            "larger chunks or use the chunked XLA path")
 
 
 def _interpret():
@@ -362,10 +377,10 @@ def _nearest_kernel(d, ck, shared, SB, o_ref, dir_ref, skip_ref, init_t_ref,
     lax.while_loop + lax.cond miscompiled on real TPUs: whole ray blocks
     lost their hits while interpret mode was exact.)
 
-    Control flow: all chunk entry lower bounds are precomputed in ONE
-    lane-parallel pass (``_entry_min_all``, (1, ncp) in visit order), and
-    the walk jumps straight between candidate chunks via masked reduces
-    (``find4``).  A serial per-iteration entry test on (R, d)-shaped
+    Control flow: all (ray, chunk) entry lower bounds are precomputed in
+    ONE lane-parallel pass (``_entry_all``, (R, ncp) in visit order), the
+    candidate scan applies the exact per-ray bound, and the walk jumps
+    straight between candidate chunks via masked reduces (``find4``).  A serial per-iteration entry test on (R, d)-shaped
     arrays wastes ~94% of the VPU lanes and was measured to DOMINATE the
     kernel (walk time was flat in the pair-test count); with the
     vectorized scan, skipped chunks cost nothing.
@@ -393,9 +408,10 @@ def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
     best_t[:] = init_t_ref[sl]
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
 
-    # min-over-rays entry bound for EVERY chunk position, in ORDER space
-    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
-    ncp = emin.shape[1]
+    # per-(ray, chunk) entry bounds, reduced to per-group minima (the big
+    # matrix dies before the loop — see G_SUB)
+    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
+    ncp = egrp.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
     # Every vector->scalar transfer serializes the walk (~3 us each: the
@@ -413,9 +429,10 @@ def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
     def find_cands(k0v):
         """Positions of the next P_CAND candidates >= k0v ((1,1) vector)
         as P_CAND/2 packed (1,1) vectors [c_odd*2^14 + c_even]; SENT
-        fills."""
-        bound = jnp.max(best_t[:], axis=0, keepdims=True)   # (1, 1)
-        cand = (emin < bound) & (posi >= k0v) & (posi < n_eff)
+        fills.  Grouped per-ray bound: chunk k is a candidate iff some
+        64-ray group enters it before that group's own worst best-hit."""
+        need = _need_groups(egrp, _group_max(best_t[:]))
+        cand = need & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
         cs = []
         for _ in range(P_CAND):
@@ -479,6 +496,7 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     shared-origin fast path for primary rays."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
+    _check_nc(nc)
     ni = R // RAY_BLOCK
 
     if order is None:
@@ -564,15 +582,16 @@ def _occlusion_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     n_eff = neff_ref[0]
 
     # vectorized candidate scan with a single, latency-hidden scalar sync
-    # per iteration (see _nearest_kernel)
-    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
-    ncp = emin.shape[1]
+    # per iteration (see _nearest_kernel); EXACT per-ray bound: a chunk is
+    # a candidate iff some still-unblocked ray enters it within its own
+    # light distance.
+    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
+    ncp = egrp.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
     def find_next(k0):
-        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
-                       axis=0, keepdims=True)                   # (1, 1)
-        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
+        bmax = _group_max(jnp.where(blocked[:] == 0, ldist, 0.0))
+        cand = _need_groups(egrp, bmax) & (posi >= k0) & (posi < n_eff)
         return jnp.min(jnp.where(cand, posi, BIG_POS))
 
     def body(state):
@@ -601,6 +620,7 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
     visited (ni,) i32)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
+    _check_nc(nc)
     ni = R // RAY_BLOCK
     if order is None:
         order = res["base_order"]
@@ -680,16 +700,16 @@ def _nearest_t_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     lanesK = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, K), 1)
 
     # vectorized candidate scan (see _nearest_kernel).  The walk bound is
-    # the nearest OPAQUE hit; transparent hits beyond every ray's best_t
-    # are culled by trim_intersections in the reference too
-    # (tracer.hpp:784-789), so the same bound is exact here.
-    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
-    ncp = emin.shape[1]
+    # the nearest OPAQUE hit, applied PER RAY; transparent hits beyond
+    # each ray's best_t are culled by trim_intersections in the reference
+    # too (tracer.hpp:784-789), so the per-ray bound is exact here.
+    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
+    ncp = egrp.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
     def find_next(k0):
-        bound = jnp.max(best_t[:], axis=0, keepdims=True)       # (1, 1)
-        cand = (emin < bound) & (posi >= k0) & (posi < n_eff)
+        cand = _need_groups(egrp, _group_max(best_t[:])) \
+            & (posi >= k0) & (posi < n_eff)
         return jnp.min(jnp.where(cand, posi, BIG_POS))
 
     def body(state):
@@ -746,6 +766,7 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
     (t, slot_gid, tt (R,K) ascending-unsorted, tid_gid (R,K), visited)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
+    _check_nc(nc)
     ni = R // RAY_BLOCK
     if order is None:
         order = res["base_order"]
@@ -817,16 +838,16 @@ def _occl_t_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
     n_eff = neff_ref[0]
 
-    # vectorized candidate scan (see _nearest_kernel); a chunk with
-    # emin >= max unblocked ldist can affect neither blocked nor filt
-    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
-    ncp = emin.shape[1]
+    # vectorized candidate scan (see _nearest_kernel); per-ray bound: a
+    # chunk entered at/after a ray's light distance (or by a blocked ray)
+    # can affect neither that ray's blocked nor filt
+    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
+    ncp = egrp.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
     def find_next(k0):
-        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
-                       axis=0, keepdims=True)                   # (1, 1)
-        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
+        bmax = _group_max(jnp.where(blocked[:] == 0, ldist, 0.0))
+        cand = _need_groups(egrp, bmax) & (posi >= k0) & (posi < n_eff)
         return jnp.min(jnp.where(cand, posi, BIG_POS))
 
     def body(state):
@@ -871,6 +892,7 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     Returns (blocked (R,), filt (R,), visited)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
+    _check_nc(nc)
     ni = R // RAY_BLOCK
     if order is None:
         order = res["base_order"]
@@ -962,11 +984,14 @@ def _order_boxes(res, order, d):
     return klo_t, khi_t
 
 
-def _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref):
-    """Minimum-over-rays slab entry for EVERY chunk position, one
-    vectorized pass: (1, ncp) with INF for missed/padding chunks.  This
-    replaces a serial per-position scan (O(nc) heavy tests per ray block)
-    with a single precompute + cheap masked reduces."""
+def _entry_all(d, o8, d8, klo_t_ref, khi_t_ref):
+    """Per-(ray, chunk) slab entry for EVERY chunk position, one vectorized
+    pass: (RAY_BLOCK, ncp) with INF for missed/padding chunks.  Kept
+    resident for the walk so the candidate scan can apply the EXACT
+    per-ray bound ``entry[r,k] < best_t[r]`` — the old block-level bound
+    ``min_r entry < max_r best_t`` visited every chunk some unresolved ray
+    could reach anywhere in the block (~42% of the pool on the 120-cell);
+    per-ray, a resolved ray stops forcing chunks immediately."""
     ncp = klo_t_ref.shape[1]
     tn = jnp.full((RAY_BLOCK, ncp), -BIG, f32)
     tf = jnp.full((RAY_BLOCK, ncp), BIG, f32)
@@ -986,7 +1011,50 @@ def _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref):
         tf = jnp.minimum(tf, t1)
     entry = jnp.maximum(tn, 0.0)
     ok = (tf >= entry) & (tf >= 0)
-    return jnp.min(jnp.where(ok, entry, INF), axis=0, keepdims=True)
+    return jnp.where(ok, entry, INF)
+
+
+def _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref):
+    """Minimum-over-rays slab entry per chunk position: (1, ncp)."""
+    return jnp.min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref),
+                   axis=0, keepdims=True)
+
+
+# Sub-groups for the candidate bound.  The EXACT per-ray bound
+# (any_r entry[r,k] < best_t[r]) was measured 9x SLOWER than the old
+# block-level bound: it keeps the (RAY_BLOCK, ncp) entry matrix live
+# across the walk loop and touches all of it every iteration (register
+# spill churn).  Grouped bounds get most of the tightness at ~one vreg of
+# loop state: the entry matrix is reduced ONCE per walk to per-group
+# minima (G_SUB, ncp), and each iteration compares them against the
+# per-group maxima of the rays' own bounds.  With the 32x16-px tiled ray
+# order a 64-ray group is a 32x2-pixel strip — coherent, so the group
+# bound is close to the per-ray one.
+G_SUB = 8
+
+
+def _group_min(entry):
+    """(RAY_BLOCK, ncp) -> (G_SUB, ncp) per-group minima."""
+    seg = RAY_BLOCK // G_SUB
+    return jnp.concatenate(
+        [jnp.min(entry[g * seg:(g + 1) * seg], axis=0, keepdims=True)
+         for g in range(G_SUB)], axis=0)
+
+
+def _group_max(col):
+    """(RAY_BLOCK, 1) -> (G_SUB, 1) per-group maxima."""
+    seg = RAY_BLOCK // G_SUB
+    return jnp.concatenate(
+        [jnp.max(col[g * seg:(g + 1) * seg], axis=0, keepdims=True)
+         for g in range(G_SUB)], axis=0)
+
+
+def _need_groups(egrp, bmax_g):
+    """(G_SUB, ncp), (G_SUB, 1) -> (1, ncp) candidate mask: chunk k is
+    needed iff some group enters it before that group's own bound.
+    Pure f32 arithmetic (egrp is INF only where bmax_g is finite, so the
+    difference never produces NaN)."""
+    return jnp.min(egrp - bmax_g, axis=0, keepdims=True) < 0
 
 
 BIG_POS = np.int32(1 << 30)
@@ -1015,14 +1083,15 @@ def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     n_eff = neff_ref[0]
 
-    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
-    ncp = emin.shape[1]
+    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
+    ncp = egrp.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
     SENT = jnp.int32((1 << 14) - 1)
 
     def find4(k0v):
-        bound = jnp.max(best_t[:], axis=0, keepdims=True)   # (1, 1)
-        cand = (emin < bound) & (posi >= k0v) & (posi < n_eff)
+        # grouped per-ray bound (see _nearest_walk / G_SUB)
+        need = _need_groups(egrp, _group_max(best_t[:]))
+        cand = need & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
         cs = []
         for _ in range(4):
@@ -1097,6 +1166,7 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
     (shared_rows_res) replaces the streamed ci chunks for primary rays."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
+    _check_nc(nc)
     ni = R // RAY_BLOCK
     if order is None:
         order = res["base_order"]
@@ -1171,15 +1241,16 @@ def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     n_eff = neff_ref[0]
 
-    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
-    ncp = emin.shape[1]
+    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
+    ncp = egrp.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
     SENT = jnp.int32((1 << 14) - 1)
 
     def find4(k0v):
-        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
-                       axis=0, keepdims=True)                   # (1, 1)
-        cand = (emin < lmax) & (posi >= k0v) & (posi < n_eff)
+        # grouped bound: only still-unblocked rays' light distances count
+        bmax = _group_max(jnp.where(blocked[:] == 0, ldist, 0.0))
+        need = _need_groups(egrp, bmax)
+        cand = need & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
         cs = []
         for _ in range(4):
@@ -1243,6 +1314,7 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
     """occluded for HBM-resident pools (double-buffered chunk streaming)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
+    _check_nc(nc)
     ni = R // RAY_BLOCK
     if order is None:
         order = res["base_order"]
@@ -1286,3 +1358,356 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
     )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
       klo_t, khi_t, res["gt"], res["ci"], res["ids"])
     return out[:, 0] != 0, counts[::RAY_BLOCK, 0]
+
+
+# ---------------------------------------------------------------------------
+# Transparent HBM pools: nearest-opaque + K transparent slots with the same
+# packed 4-candidate selection + deep prefetch as the opaque HBM walk (the
+# reference handles transparency in its one hot loop at any scene size,
+# tracer.hpp:977-1086; round 2 fell back to the XLA scan here).
+# ---------------------------------------------------------------------------
+
+
+def _hbm_fetch_t(arrs_hbm, bufs, sems, idx, slot):
+    for j, (src, dst) in enumerate(zip(arrs_hbm, bufs)):
+        pltpu.make_async_copy(src.at[idx], dst.at[slot],
+                              sems.at[slot, j]).start()
+
+
+def _hbm_wait_t(arrs_hbm, bufs, sems, slot):
+    for j, (src, dst) in enumerate(zip(arrs_hbm, bufs)):
+        pltpu.make_async_copy(src.at[0], dst.at[slot],
+                              sems.at[slot, j]).wait()
+
+
+def _nearest_t_hbm_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref,
+                          init_t_ref, order_ref, neff_ref, klo_t_ref,
+                          khi_t_ref, gt_hbm, ci_hbm, ids_hbm, opa_hbm,
+                          out_t_ref, out_id_ref, out_tt_ref, out_tid_ref,
+                          count_ref, best_t, best_id, tt, tid,
+                          gt_buf, ci_buf, ids_buf, opa_buf, sems):
+    o8 = o_ref[:]
+    d8 = dir_ref[:]
+    skip = skip_ref[:]
+
+    best_t[:] = init_t_ref[:]
+    best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    tt[:] = jnp.full((RAY_BLOCK, K), INF, f32)
+    tid[:] = jnp.full((RAY_BLOCK, K), -1, jnp.int32)
+    n_eff = neff_ref[0]
+    lanesK = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, K), 1)
+
+    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
+    ncp = egrp.shape[1]
+    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+    SENT = jnp.int32((1 << 14) - 1)
+    arrs_hbm = (gt_hbm, ci_hbm, ids_hbm, opa_hbm)
+    bufs = (gt_buf, ci_buf, ids_buf, opa_buf)
+
+    def find4(k0v):
+        # grouped bound on the nearest OPAQUE hit; transparent hits beyond
+        # each ray's best_t are culled downstream (tracer.hpp:784-789)
+        need = _need_groups(egrp, _group_max(best_t[:]))
+        cand = need & (posi >= k0v) & (posi < n_eff)
+        cp = jnp.where(cand, posi, SENT)
+        cs = []
+        for _ in range(4):
+            c = jnp.min(cp, axis=1, keepdims=True)
+            cs.append(c)
+            cp = jnp.where(posi > c, cp, SENT)
+        return cs[0] * (SENT + 1) + cs[1], cs[2] * (SENT + 1) + cs[3]
+
+    def unpack(p12, p34):
+        return (p12 // (SENT + 1), p12 % (SENT + 1),
+                p34 // (SENT + 1), p34 % (SENT + 1))
+
+    def fetch4(ks, base):
+        for j, kj in enumerate(ks):
+            @pl.when(kj < SENT)
+            def _(kj=kj, j=j):
+                _hbm_fetch_t(arrs_hbm, bufs, sems, order_ref[kj], base + j)
+
+    def process4(ks, base, visited):
+        for j, kj in enumerate(ks):
+            @pl.when(kj < SENT)
+            def _(kj=kj, j=j):
+                slot = base + j
+                _hbm_wait_t(arrs_hbm, bufs, sems, slot)
+                idx = order_ref[kj]
+                t, valid = _chunk_hits_vals(
+                    d, ck, shared, gt_buf[slot], ci_buf[slot],
+                    ids_buf[slot][0:1, :], o8, d8, skip)
+                op = opa_buf[slot][0:1, :]
+                opaq = op >= 1.0
+
+                tm = jnp.where(valid & opaq, t, INF)
+                ct = jnp.min(tm, axis=1, keepdims=True)
+                carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
+                upd = ct < best_t[:]
+                best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
+                best_t[:] = jnp.where(upd, ct, best_t[:])
+
+                # K-nearest transparent slots (see _nearest_t_kernel)
+                tmt = jnp.where(valid & jnp.logical_not(opaq), t, INF)
+                for _s in range(K):
+                    st = jnp.min(tmt, axis=1, keepdims=True)
+                    sarg = jnp.argmin(tmt, axis=1).astype(jnp.int32)[:, None]
+                    lane = jax.lax.broadcasted_iota(jnp.int32,
+                                                    (RAY_BLOCK, ck), 1)
+                    tmt = jnp.where(lane == sarg, INF, tmt)
+                    bmax = jnp.max(tt[:], axis=1, keepdims=True)
+                    barg = jnp.argmax(tt[:], axis=1).astype(jnp.int32)[:, None]
+                    put = (st < bmax) & (lanesK == barg)
+                    tid[:] = jnp.where(put, idx * ck + sarg, tid[:])
+                    tt[:] = jnp.where(put, st, tt[:])
+            visited = visited + (kj < SENT).astype(jnp.int32)
+        return visited
+
+    i12, i34 = find4(jnp.zeros((1, 1), jnp.int32))
+    iv12 = i12[0, 0]
+    iv34 = i34[0, 0]
+    fetch4(unpack(iv12, iv34), jnp.int32(0))
+
+    def body(state):
+        p12, p34, base, _, visited = state
+        ks = unpack(p12, p34)
+        n12, n34 = find4(jnp.maximum(ks[3], ks[0]) + 1)
+        nv12 = n12[0, 0]
+        nv34 = n34[0, 0]
+        nbase = 4 - base
+        fetch4(unpack(nv12, nv34), nbase)
+        visited = process4(ks, base, visited)
+        return nv12, nv34, nbase, nv12 // (SENT + 1) < SENT, visited
+
+    _, _, _, _, visited = jax.lax.while_loop(
+        lambda s: s[3], body,
+        (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
+    out_t_ref[:] = best_t[:]
+    out_id_ref[:] = best_id[:]
+    out_tt_ref[:] = tt[:]
+    out_tid_ref[:] = tid[:]
+    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("d", "K"))
+def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
+                                dmin=None, active=None, sh=None):
+    """nearest_hit_transparent for HBM-resident pools (double-buffered
+    chunk streaming incl. the opacity row)."""
+    R = o.shape[0]
+    nc, pr, ck = res["gt"].shape
+    _check_nc(nc)
+    ni = R // RAY_BLOCK
+    if order is None:
+        order = res["base_order"]
+    init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
+    if active is not None:
+        init_t = jnp.where(active, init_t, 0.0)
+    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
+    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+    klo_t, khi_t = _order_boxes(res, order, d)
+    ncp = klo_t.shape[1]
+    ci = res["ci"] if sh is None else sh
+
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out_t, out_id, out_tt, out_tid, counts = pl.pallas_call(
+        partial(_nearest_t_hbm_kernel, d, ck, K, sh is not None),
+        grid=(ni,),
+        interpret=_interpret(),
+        in_specs=[
+            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
+            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # gt (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # ci (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # ids (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # opa (HBM)
+        ],
+        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+                   blk((RAY_BLOCK, K)), blk((RAY_BLOCK, K)),
+                   blk((RAY_BLOCK, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, K), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+            pltpu.VMEM((RAY_BLOCK, K), jnp.float32),
+            pltpu.VMEM((RAY_BLOCK, K), jnp.int32),
+            pltpu.VMEM((8, pr, ck), jnp.float32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.float32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.int32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.float32),
+            pltpu.SemaphoreType.DMA((8, 4)),
+        ],
+    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, klo_t, khi_t,
+      res["gt"], ci, res["ids"], res["opa"])
+
+    slot_ids = res["ids"][:, 0, :].reshape(-1)
+    slot = out_id[:, 0]
+    gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
+    tgid = jnp.where(out_tid >= 0, slot_ids[jnp.clip(out_tid, 0, None)], -1)
+    return out_t[:, 0], gid, out_tt, tgid, counts[::RAY_BLOCK, 0]
+
+
+def _occl_t_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                       order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                       gt_hbm, ci_hbm, ids_hbm, opa_hbm,
+                       out_ref, filt_ref, count_ref,
+                       blocked, filt, gt_buf, ci_buf, ids_buf, opa_buf,
+                       sems):
+    """HBM transparent occlusion: any-opaque-hit + transparency product
+    with packed 4-candidate selection + deep prefetch."""
+    o8 = o_ref[:]
+    d8 = dir_ref[:]
+    skip = skip_ref[:]
+    ldist = ldist_ref[:]
+
+    blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
+    n_eff = neff_ref[0]
+
+    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
+    ncp = egrp.shape[1]
+    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+    SENT = jnp.int32((1 << 14) - 1)
+    arrs_hbm = (gt_hbm, ci_hbm, ids_hbm, opa_hbm)
+    bufs = (gt_buf, ci_buf, ids_buf, opa_buf)
+
+    def find4(k0v):
+        bmax = _group_max(jnp.where(blocked[:] == 0, ldist, 0.0))
+        need = _need_groups(egrp, bmax)
+        cand = need & (posi >= k0v) & (posi < n_eff)
+        cp = jnp.where(cand, posi, SENT)
+        cs = []
+        for _ in range(4):
+            c = jnp.min(cp, axis=1, keepdims=True)
+            cs.append(c)
+            cp = jnp.where(posi > c, cp, SENT)
+        return cs[0] * (SENT + 1) + cs[1], cs[2] * (SENT + 1) + cs[3]
+
+    def unpack(p12, p34):
+        return (p12 // (SENT + 1), p12 % (SENT + 1),
+                p34 // (SENT + 1), p34 % (SENT + 1))
+
+    def fetch4(ks, base):
+        for j, kj in enumerate(ks):
+            @pl.when(kj < SENT)
+            def _(kj=kj, j=j):
+                _hbm_fetch_t(arrs_hbm, bufs, sems, order_ref[kj], base + j)
+
+    def process4(ks, base, visited):
+        for j, kj in enumerate(ks):
+            @pl.when(kj < SENT)
+            def _(kj=kj, j=j):
+                slot = base + j
+                _hbm_wait_t(arrs_hbm, bufs, sems, slot)
+                t, valid = _chunk_hits_vals(
+                    d, ck, False, gt_buf[slot], ci_buf[slot],
+                    ids_buf[slot][0:1, :], o8, d8, skip)
+                valid &= t < ldist
+                op = opa_buf[slot][0:1, :]
+                opaq = op >= 1.0
+                hit = jnp.any(valid & opaq, axis=1, keepdims=True)
+                blocked[:] = jnp.where(hit, 1, blocked[:])
+                tr = valid & jnp.logical_not(opaq)
+                # binary-tree lane product (no Mosaic reduce_prod lowering)
+                v = jnp.where(tr, 1.0 - op, 1.0)
+                w = ck
+                while w > 1:
+                    assert w % 2 == 0
+                    w //= 2
+                    v = v[:, :w] * v[:, w:2 * w]
+                filt[:] = filt[:] * v
+            visited = visited + (kj < SENT).astype(jnp.int32)
+        return visited
+
+    i12, i34 = find4(jnp.zeros((1, 1), jnp.int32))
+    iv12 = i12[0, 0]
+    iv34 = i34[0, 0]
+    fetch4(unpack(iv12, iv34), jnp.int32(0))
+
+    def body(state):
+        p12, p34, base, _, visited = state
+        ks = unpack(p12, p34)
+        n12, n34 = find4(jnp.maximum(ks[3], ks[0]) + 1)
+        nv12 = n12[0, 0]
+        nv34 = n34[0, 0]
+        nbase = 4 - base
+        fetch4(unpack(nv12, nv34), nbase)
+        visited = process4(ks, base, visited)
+        return nv12, nv34, nbase, nv12 // (SENT + 1) < SENT, visited
+
+    _, _, _, _, visited = jax.lax.while_loop(
+        lambda s: s[3], body,
+        (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
+    out_ref[:] = blocked[:]
+    filt_ref[:] = filt[:]
+    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("d",))
+def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
+    """occluded_transparent for HBM-resident pools."""
+    R = o.shape[0]
+    nc, pr, ck = res["gt"].shape
+    _check_nc(nc)
+    ni = R // RAY_BLOCK
+    if order is None:
+        order = res["base_order"]
+    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
+    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
+    klo_t, khi_t = _order_boxes(res, order, d)
+    ncp = klo_t.shape[1]
+
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out, filt, counts = pl.pallas_call(
+        partial(_occl_t_hbm_kernel, d, ck),
+        grid=(ni,),
+        interpret=_interpret(),
+        in_specs=[
+            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
+            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+                   blk((RAY_BLOCK, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((8, pr, ck), jnp.float32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.float32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.int32),
+            pltpu.VMEM((8, C_PAD, ck), jnp.float32),
+            pltpu.SemaphoreType.DMA((8, 4)),
+        ],
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, klo_t, khi_t,
+      res["gt"], res["ci"], res["ids"], res["opa"])
+    return out[:, 0] != 0, filt[:, 0], counts[::RAY_BLOCK, 0]

@@ -259,7 +259,9 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
             sh = pctx["sh_res"]
         else:
             order = dmin = sh = None
-        kt, kid, ktt, ktid, vis = rk.nearest_hit_transparent(
+        nearest_t = rk.nearest_hit_transparent_hbm if "res_is_hbm" in arrs \
+            else rk.nearest_hit_transparent
+        kt, kid, ktt, ktid, vis = nearest_t(
             res_k, o, dirs, skip_local, d, K, order=order, dmin=dmin,
             active=active, sh=sh)
         _stat(stats, "rays_traced",
@@ -593,7 +595,9 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None):
         inv = jnp.argsort(perm)
         if cfg.has_transparency:
             res_k["opa"] = arrs["res_opa"]
-            blk, flt, vis = rk.occluded_transparent(
+            occ_t = rk.occluded_transparent_hbm if "res_is_hbm" in arrs \
+                else rk.occluded_transparent
+            blk, flt, vis = occ_t(
                 res_k, o[perm], dirs[perm], pool_ldist[perm],
                 skip_local[perm], d)
             flt = flt[inv]
@@ -1374,9 +1378,9 @@ def get_device_scene(scene):
                     # else: > MAX_CHUNKS chunks would overflow the packed
                     # 14-bit candidate encoding; fall back to the XLA scan
             if res is not None:
-                if flat.config.has_transparency and not res_hbm:
-                    # (transparent big pools use the chunked XLA path)
-                    rk.add_opacity(res, arrs["tri_opacity"])
+                if flat.config.has_transparency:
+                    rk.add_opacity(res, arrs["tri_opacity"],
+                                   ck=rk.HBM_CK if res_hbm else rk.CK)
                     arrs["res_opa"] = res["opa"]
                 if res_hbm:
                     arrs["res_is_hbm"] = np.asarray([1], np.int32)

@@ -122,6 +122,17 @@ def scenes():
         _, s = _mesh_scene(3, 900, Material((1, 0.7, 0.6)), seed=8,
                            lights=True, shadows=True)
         yield "hbm-path d=3", s
+
+        # transparent + HBM: the streaming K-buffer kernels (unbatched so
+        # the oracle's transparent semantics are width-independent)
+        _kdt.group_primitives = lambda prims: list(prims)
+        try:
+            _, s = _mesh_scene(3, 800, Material((0.7, 0.8, 1.0),
+                                                opacity=0.45),
+                               seed=12, lights=True, shadows=True)
+        finally:
+            _kdt.group_primitives = _grp
+        yield "hbm transparent d=3", s
     finally:
         rk.POOL_VMEM_BUDGET = saved
 

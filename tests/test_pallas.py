@@ -360,3 +360,47 @@ def test_shared_origin_rows_bit_identical():
     assert np.array_equal(np.asarray(gid_), np.asarray(gid2_))
     mg = np.asarray(gid_) >= 0
     assert np.array_equal(np.asarray(gt_)[mg], np.asarray(gt2_)[mg])
+
+
+def test_transparent_hbm_path_matches_xla(monkeypatch):
+    """Transparent pools beyond the VMEM budget run the HBM streaming
+    K-buffer kernels (nearest_hit_transparent_hbm /
+    occluded_transparent_hbm, VERDICT r2 item 5) instead of falling back
+    to the XLA scan; results must match the XLA path through the full
+    engine.  The scene is built unbatched so the oracle/XLA transparent
+    semantics are width-independent (PARITY.md defect 7)."""
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    monkeypatch.setattr(rk, "POOL_VMEM_BUDGET", 1024)
+    glass = Material((1, 0.7, 0.7), opacity=0.4)
+    solid_m = Material((0.3, 0.8, 0.5))
+    rng = np.random.RandomState(23)
+    nt = NTracer(3)
+    protos = []
+    for i in range(1200):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.4, 0.4, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, glass if i % 2 else solid_m))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector(0, 0, -8))
+    scene.set_camera(cam)
+    scene.add_light(nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)))
+    scene.set_shadows(True)
+
+    cfg, device, flat = wavefront.get_device_scene(scene)
+    assert "res_is_hbm" in device and "res_opa" in device
+
+    w = h = 24
+
+    class F:
+        width = w
+        height = h
+
+    scene._set_view_size(w, h)
+    eng = wavefront.render_strip_composite(scene, F, 0, h)
+    no_k = {k: v for k, v in device.items()
+            if not k.startswith(("res_", "kern_"))}
+    scene._device_cache = (cfg, no_k, flat)
+    eng2 = wavefront.render_strip_composite(scene, F, 0, h)
+    assert float(np.abs(eng - eng2).max()) < 2e-5
