@@ -14,12 +14,13 @@ traversal with t-clipping (tracer.hpp:1179-1243):
     by distance from the shared ray origin — data-dependent *VMEM
     addressing*, not block DMA, so it cannot defeat input
     double-buffering (the round-1 regression),
-  * every (ray, chunk) slab-entry bound is precomputed in ONE
-    lane-parallel pass (``_entry_all``), the candidate scan applies the
-    EXACT per-ray bound ``entry[r,k] < best_t[r]`` (a resolved ray stops
-    forcing chunks immediately), and the walk jumps straight between
-    candidate chunks via packed masked reduces (``find4``/
-    ``find_cands``: 4 positions, 2 per extracted scalar).  These walks
+  * every chunk's min-over-rays entry bound is precomputed in ONE
+    lane-parallel pass (``_entry_min_all``), and the walk jumps straight
+    between candidate chunks via packed masked reduces (``find4``/
+    ``find_cands``: 4 positions, 2 per extracted scalar).  Tighter
+    per-ray/per-group bounds were measured to cut <0.1% of visits on the
+    flagship (coherent tiles make the block bound effectively tight) at
+    equal-or-higher iteration cost, so the cheap block bound stays.  These walks
     are bound by per-iteration vector→scalar syncs (~3 us each; kernel
     time was FLAT across an 8x pair-test sweep until the syncs were
     batched), NOT by pair-test FLOPs — see CLAUDE.md,
@@ -377,10 +378,10 @@ def _nearest_kernel(d, ck, shared, SB, o_ref, dir_ref, skip_ref, init_t_ref,
     lax.while_loop + lax.cond miscompiled on real TPUs: whole ray blocks
     lost their hits while interpret mode was exact.)
 
-    Control flow: all (ray, chunk) entry lower bounds are precomputed in
-    ONE lane-parallel pass (``_entry_all``, (R, ncp) in visit order), the
-    candidate scan applies the exact per-ray bound, and the walk jumps
-    straight between candidate chunks via masked reduces (``find4``).  A serial per-iteration entry test on (R, d)-shaped
+    Control flow: all chunk entry lower bounds are precomputed in ONE
+    lane-parallel pass (``_entry_min_all``, (1, ncp) in visit order), and
+    the walk jumps straight between candidate chunks via masked reduces
+    (``find4``).  A serial per-iteration entry test on (R, d)-shaped
     arrays wastes ~94% of the VPU lanes and was measured to DOMINATE the
     kernel (walk time was flat in the pair-test count); with the
     vectorized scan, skipped chunks cost nothing.
@@ -408,10 +409,9 @@ def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
     best_t[:] = init_t_ref[sl]
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
 
-    # per-(ray, chunk) entry bounds, reduced to per-group minima (the big
-    # matrix dies before the loop — see G_SUB)
-    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
-    ncp = egrp.shape[1]
+    # min-over-rays entry bound for EVERY chunk position, in ORDER space
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
     # Every vector->scalar transfer serializes the walk (~3 us each: the
@@ -429,10 +429,9 @@ def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
     def find_cands(k0v):
         """Positions of the next P_CAND candidates >= k0v ((1,1) vector)
         as P_CAND/2 packed (1,1) vectors [c_odd*2^14 + c_even]; SENT
-        fills.  Grouped per-ray bound: chunk k is a candidate iff some
-        64-ray group enters it before that group's own worst best-hit."""
-        need = _need_groups(egrp, _group_max(best_t[:]))
-        cand = need & (posi >= k0v) & (posi < n_eff)
+        fills."""
+        bound = jnp.max(best_t[:], axis=0, keepdims=True)   # (1, 1)
+        cand = (emin < bound) & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
         cs = []
         for _ in range(P_CAND):
@@ -582,16 +581,15 @@ def _occlusion_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     n_eff = neff_ref[0]
 
     # vectorized candidate scan with a single, latency-hidden scalar sync
-    # per iteration (see _nearest_kernel); EXACT per-ray bound: a chunk is
-    # a candidate iff some still-unblocked ray enters it within its own
-    # light distance.
-    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
-    ncp = egrp.shape[1]
+    # per iteration (see _nearest_kernel).
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
     def find_next(k0):
-        bmax = _group_max(jnp.where(blocked[:] == 0, ldist, 0.0))
-        cand = _need_groups(egrp, bmax) & (posi >= k0) & (posi < n_eff)
+        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                       axis=0, keepdims=True)                   # (1, 1)
+        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
         return jnp.min(jnp.where(cand, posi, BIG_POS))
 
     def body(state):
@@ -700,16 +698,16 @@ def _nearest_t_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     lanesK = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, K), 1)
 
     # vectorized candidate scan (see _nearest_kernel).  The walk bound is
-    # the nearest OPAQUE hit, applied PER RAY; transparent hits beyond
-    # each ray's best_t are culled by trim_intersections in the reference
-    # too (tracer.hpp:784-789), so the per-ray bound is exact here.
-    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
-    ncp = egrp.shape[1]
+    # the nearest OPAQUE hit; transparent hits beyond every ray's best_t
+    # are culled by trim_intersections in the reference too
+    # (tracer.hpp:784-789), so the same bound is exact here.
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
     def find_next(k0):
-        cand = _need_groups(egrp, _group_max(best_t[:])) \
-            & (posi >= k0) & (posi < n_eff)
+        bound = jnp.max(best_t[:], axis=0, keepdims=True)       # (1, 1)
+        cand = (emin < bound) & (posi >= k0) & (posi < n_eff)
         return jnp.min(jnp.where(cand, posi, BIG_POS))
 
     def body(state):
@@ -838,16 +836,16 @@ def _occl_t_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
     n_eff = neff_ref[0]
 
-    # vectorized candidate scan (see _nearest_kernel); per-ray bound: a
-    # chunk entered at/after a ray's light distance (or by a blocked ray)
-    # can affect neither that ray's blocked nor filt
-    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
-    ncp = egrp.shape[1]
+    # vectorized candidate scan (see _nearest_kernel); a chunk with
+    # emin >= max unblocked ldist can affect neither blocked nor filt
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
     def find_next(k0):
-        bmax = _group_max(jnp.where(blocked[:] == 0, ldist, 0.0))
-        cand = _need_groups(egrp, bmax) & (posi >= k0) & (posi < n_eff)
+        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                       axis=0, keepdims=True)                   # (1, 1)
+        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
         return jnp.min(jnp.where(cand, posi, BIG_POS))
 
     def body(state):
@@ -986,12 +984,7 @@ def _order_boxes(res, order, d):
 
 def _entry_all(d, o8, d8, klo_t_ref, khi_t_ref):
     """Per-(ray, chunk) slab entry for EVERY chunk position, one vectorized
-    pass: (RAY_BLOCK, ncp) with INF for missed/padding chunks.  Kept
-    resident for the walk so the candidate scan can apply the EXACT
-    per-ray bound ``entry[r,k] < best_t[r]`` — the old block-level bound
-    ``min_r entry < max_r best_t`` visited every chunk some unresolved ray
-    could reach anywhere in the block (~42% of the pool on the 120-cell);
-    per-ray, a resolved ray stops forcing chunks immediately."""
+    pass: (RAY_BLOCK, ncp) with INF for missed/padding chunks."""
     ncp = klo_t_ref.shape[1]
     tn = jnp.full((RAY_BLOCK, ncp), -BIG, f32)
     tf = jnp.full((RAY_BLOCK, ncp), BIG, f32)
@@ -1020,41 +1013,15 @@ def _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref):
                    axis=0, keepdims=True)
 
 
-# Sub-groups for the candidate bound.  The EXACT per-ray bound
-# (any_r entry[r,k] < best_t[r]) was measured 9x SLOWER than the old
-# block-level bound: it keeps the (RAY_BLOCK, ncp) entry matrix live
-# across the walk loop and touches all of it every iteration (register
-# spill churn).  Grouped bounds get most of the tightness at ~one vreg of
-# loop state: the entry matrix is reduced ONCE per walk to per-group
-# minima (G_SUB, ncp), and each iteration compares them against the
-# per-group maxima of the rays' own bounds.  With the 32x16-px tiled ray
-# order a 64-ray group is a 32x2-pixel strip — coherent, so the group
-# bound is close to the per-ray one.
-G_SUB = 8
-
-
-def _group_min(entry):
-    """(RAY_BLOCK, ncp) -> (G_SUB, ncp) per-group minima."""
-    seg = RAY_BLOCK // G_SUB
-    return jnp.concatenate(
-        [jnp.min(entry[g * seg:(g + 1) * seg], axis=0, keepdims=True)
-         for g in range(G_SUB)], axis=0)
-
-
-def _group_max(col):
-    """(RAY_BLOCK, 1) -> (G_SUB, 1) per-group maxima."""
-    seg = RAY_BLOCK // G_SUB
-    return jnp.concatenate(
-        [jnp.max(col[g * seg:(g + 1) * seg], axis=0, keepdims=True)
-         for g in range(G_SUB)], axis=0)
-
-
-def _need_groups(egrp, bmax_g):
-    """(G_SUB, ncp), (G_SUB, 1) -> (1, ncp) candidate mask: chunk k is
-    needed iff some group enters it before that group's own bound.
-    Pure f32 arithmetic (egrp is INF only where bmax_g is finite, so the
-    difference never produces NaN)."""
-    return jnp.min(egrp - bmax_g, axis=0, keepdims=True) < 0
+# Candidate-bound design note (measured on the 120-cell, v5e): tighter
+# per-ray and per-64-ray-group bounds (any_r entry[r,k] < best_t[r]) were
+# implemented and measured to reduce chunk visits by <0.1% on the
+# flagship view while costing 0-40% more per iteration (the per-ray
+# variant keeps a (RAY_BLOCK, ncp) matrix live across the loop and was
+# 9x slower from register-spill churn).  The block-level bound below
+# (min-over-rays entry vs max-over-rays best) is effectively tight
+# because the unresolved rays of a coherent 32x16-px tile share their
+# frustum; the cheap (1, ncp)/(1, 1) form is kept.
 
 
 BIG_POS = np.int32(1 << 30)
@@ -1083,15 +1050,14 @@ def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     n_eff = neff_ref[0]
 
-    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
-    ncp = egrp.shape[1]
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
     SENT = jnp.int32((1 << 14) - 1)
 
     def find4(k0v):
-        # grouped per-ray bound (see _nearest_walk / G_SUB)
-        need = _need_groups(egrp, _group_max(best_t[:]))
-        cand = need & (posi >= k0v) & (posi < n_eff)
+        bound = jnp.max(best_t[:], axis=0, keepdims=True)   # (1, 1)
+        cand = (emin < bound) & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
         cs = []
         for _ in range(4):
@@ -1241,16 +1207,16 @@ def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     n_eff = neff_ref[0]
 
-    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
-    ncp = egrp.shape[1]
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
     SENT = jnp.int32((1 << 14) - 1)
 
     def find4(k0v):
-        # grouped bound: only still-unblocked rays' light distances count
-        bmax = _group_max(jnp.where(blocked[:] == 0, ldist, 0.0))
-        need = _need_groups(egrp, bmax)
-        cand = need & (posi >= k0v) & (posi < n_eff)
+        # only still-unblocked rays' light distances count
+        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                       axis=0, keepdims=True)                   # (1, 1)
+        cand = (emin < lmax) & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
         cs = []
         for _ in range(4):
@@ -1397,18 +1363,18 @@ def _nearest_t_hbm_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref,
     n_eff = neff_ref[0]
     lanesK = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, K), 1)
 
-    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
-    ncp = egrp.shape[1]
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
     SENT = jnp.int32((1 << 14) - 1)
     arrs_hbm = (gt_hbm, ci_hbm, ids_hbm, opa_hbm)
     bufs = (gt_buf, ci_buf, ids_buf, opa_buf)
 
     def find4(k0v):
-        # grouped bound on the nearest OPAQUE hit; transparent hits beyond
-        # each ray's best_t are culled downstream (tracer.hpp:784-789)
-        need = _need_groups(egrp, _group_max(best_t[:]))
-        cand = need & (posi >= k0v) & (posi < n_eff)
+        # bound = nearest OPAQUE hit; transparent hits beyond each ray's
+        # best_t are culled downstream (tracer.hpp:784-789)
+        bound = jnp.max(best_t[:], axis=0, keepdims=True)   # (1, 1)
+        cand = (emin < bound) & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
         cs = []
         for _ in range(4):
@@ -1578,17 +1544,17 @@ def _occl_t_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
     n_eff = neff_ref[0]
 
-    egrp = _group_min(_entry_all(d, o8, d8, klo_t_ref, khi_t_ref))
-    ncp = egrp.shape[1]
+    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+    ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
     SENT = jnp.int32((1 << 14) - 1)
     arrs_hbm = (gt_hbm, ci_hbm, ids_hbm, opa_hbm)
     bufs = (gt_buf, ci_buf, ids_buf, opa_buf)
 
     def find4(k0v):
-        bmax = _group_max(jnp.where(blocked[:] == 0, ldist, 0.0))
-        need = _need_groups(egrp, bmax)
-        cand = need & (posi >= k0v) & (posi < n_eff)
+        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                       axis=0, keepdims=True)                   # (1, 1)
+        cand = (emin < lmax) & (posi >= k0v) & (posi < n_eff)
         cp = jnp.where(cand, posi, SENT)
         cs = []
         for _ in range(4):
