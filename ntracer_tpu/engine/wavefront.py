@@ -496,10 +496,17 @@ def _hit_geometry(arrs, cfg, o, dirs, t, pid):
     local = pid - arrs["tri_base"]
 
     tri_id = jnp.clip(local, 0, cfg.n_tris - 1)
-    fn = arrs["tri_fn"][tri_id]                       # (R, d)
+    if "tri_pack" in arrs:
+        # one (R, d+1) gather for normal + material id (two 1M-element
+        # gathers fused into one; material ids are exact in f32)
+        row = arrs["tri_pack"][tri_id]
+        fn = row[:, :d]
+        mat = row[:, d].astype(jnp.int32)
+    else:
+        fn = arrs["tri_fn"][tri_id]                   # (R, d)
+        mat = arrs["tri_mat"][tri_id]
     denom = _dot(fn, dirs)
     n_tri = _unit(fn) * jnp.where(denom > 0, -1.0, 1.0)[:, None]
-    mat = arrs["tri_mat"][tri_id]
 
     if cfg.n_solids:
         # solids write their own normal/point; recompute per solid and select
@@ -705,11 +712,22 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
     inactive rays (the per-pixel early-outs of tracer.hpp:1750-1854),
     which with ray compaction makes them cost ~nothing."""
     R = dirs.shape[0]
-    mc = arrs["mat_color"][mi]
-    mspec = arrs["mat_specular"][mi]
-    spec_int = arrs["mat_spec_int"][mi]
-    spec_exp = arrs["mat_spec_exp"][mi]
-    refl = arrs["mat_refl"][mi]
+    if "mat_pack" in arrs:
+        # one (R, 10) row gather instead of five separate 1M-element
+        # gathers (gathers dominate the shade stage on TPU); columns are
+        # [color(3), specular(3), opacity, refl, spec_int, spec_exp]
+        row = arrs["mat_pack"][mi]
+        mc = row[:, 0:3]
+        mspec = row[:, 3:6]
+        refl = row[:, 7]
+        spec_int = row[:, 8]
+        spec_exp = row[:, 9]
+    else:
+        mc = arrs["mat_color"][mi]
+        mspec = arrs["mat_specular"][mi]
+        spec_int = arrs["mat_spec_int"][mi]
+        spec_exp = arrs["mat_spec_exp"][mi]
+        refl = arrs["mat_refl"][mi]
 
     light = jnp.zeros((R, 3), f32)
     specular = jnp.zeros((R, 3), f32)
@@ -953,8 +971,9 @@ def _ray_coords(start, w, count=TILE):
     When the frame geometry allows it, rays are ordered in TILE_W x TILE_H
     pixel tiles so each 512-ray kernel block covers a compact 2-D region
     (coherent rays -> tighter chunk culling; measured ~10-40% on the
-    traversal kernels).  Returns (xs, ys, swz) where ``swz`` (or None)
-    gathers the computed colors back to linear pixel order before packing.
+    traversal kernels).  Returns (xs, ys, swz) where ``swz`` (or None) is
+    a function permuting computed colors back to linear pixel order
+    (reshape/transpose) before packing.
     """
     idx = start + jnp.arange(count, dtype=jnp.int32)
     if w % TILE_W == 0 and count % w == 0 and (count // w) % TILE_H == 0:
@@ -966,11 +985,16 @@ def _ray_coords(start, w, count=TILE):
         y = (tile // tpr) * TILE_H + within // TILE_W
         xs = x.astype(f32)
         ys = (start // w + y).astype(f32)
-        xl = j % w
-        yl = j // w
-        swz = ((yl // TILE_H * tpr + xl // TILE_W) * (TILE_W * TILE_H)
-               + (yl % TILE_H) * TILE_W + xl % TILE_W)
-        return xs, ys, swz
+
+        def unswz(colors):
+            # tile order is axes (ty, tx, wy, wx); linear pixel order is
+            # (ty, wy, tx, wx) — a reshape/transpose, NOT a gather (a
+            # 1M-element gather is far slower on TPU than a transpose)
+            rb = count // w // TILE_H
+            c = colors.reshape(rb, tpr, TILE_H, TILE_W, -1)
+            return c.transpose(0, 2, 1, 3, 4).reshape(count, -1)
+
+        return xs, ys, unswz
     return (idx % w).astype(f32), (idx // w).astype(f32), None
 
 
@@ -1001,7 +1025,7 @@ def _tile_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
     o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
     colors = ray_colors(arrs, cfg, dyn, o, dirs)
     if swz is not None:
-        colors = colors[swz]
+        colors = swz(colors)
     return packing.pack_device(colors, key)
 
 
@@ -1011,7 +1035,7 @@ def _tile_packed_box(d, cam_origin, cam_t, fov_params, start, w, key):
     xs, ys, swz = _ray_coords(start, w)
     colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
     if swz is not None:
-        colors = colors[swz]
+        colors = swz(colors)
     return packing.pack_device(colors, key)
 
 
@@ -1042,7 +1066,7 @@ def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
         o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
         colors = ray_colors(arrs, cfg, dyn, o, dirs, pctx=pctx)
         if swz is not None:
-            colors = colors[swz]
+            colors = swz(colors)
         return packing.pack_device(colors, key)
 
     n_groups = n_tiles // group_tiles
@@ -1066,7 +1090,7 @@ def _frame_packed_box(d, cam_origin, cam_t, fov_params, base, w, n_tiles,
         xs, ys, swz = _ray_coords(start, w, count)
         colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
         if swz is not None:
-            colors = colors[swz]
+            colors = swz(colors)
         return packing.pack_device(colors, key)
 
     n_groups = n_tiles // group_tiles
@@ -1321,6 +1345,19 @@ def get_device_scene(scene):
         arrs = dict(flat.arrays)
         # per-triangle opacity + chunk AABBs for per-tile culling
         arrs["tri_opacity"] = arrs["mat_opacity"][arrs["tri_mat"]]
+        # packed material rows: one shade-stage gather instead of five
+        arrs["mat_pack"] = np.concatenate([
+            np.asarray(arrs["mat_color"], np.float32),
+            np.asarray(arrs["mat_specular"], np.float32),
+            np.asarray(arrs["mat_opacity"], np.float32)[:, None],
+            np.asarray(arrs["mat_refl"], np.float32)[:, None],
+            np.asarray(arrs["mat_spec_int"], np.float32)[:, None],
+            np.asarray(arrs["mat_spec_exp"], np.float32)[:, None],
+        ], axis=1)
+        arrs["tri_pack"] = np.concatenate([
+            np.asarray(arrs["tri_fn"], np.float32),
+            np.asarray(arrs["tri_mat"], np.float32)[:, None],
+        ], axis=1)
         nc = flat.config.n_tris // CHUNK
         d = flat.config.d
         lo = np.zeros((nc, d), np.float32)

@@ -58,7 +58,7 @@ def _pad_pool(arrs, cfg, n_prim):
     grow = t_new - t
     out = dict(arrs)
     for k in ("tri_p1", "tri_fn", "tri_en", "tri_dc", "tri_mat",
-              "tri_opacity"):
+              "tri_opacity", "tri_pack"):
         a = np.asarray(arrs[k])
         pad = [(0, grow)] + [(0, 0)] * (a.ndim - 1)
         out[k] = np.pad(a, pad)
@@ -73,7 +73,7 @@ def _pad_pool(arrs, cfg, n_prim):
 
 
 _TRI_KEYS = ("tri_p1", "tri_fn", "tri_en", "tri_dc", "tri_mat",
-             "tri_opacity", "ck_lo", "ck_hi", "ck_nonempty")
+             "tri_opacity", "tri_pack", "ck_lo", "ck_hi", "ck_nonempty")
 
 # resident-kernel layout keys with a leading per-shard axis (P("prim"));
 # squeezed back to shard-local shapes inside shard_fn
