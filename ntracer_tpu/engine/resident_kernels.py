@@ -481,9 +481,9 @@ def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
     count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d",))
+@partial(jax.jit, static_argnames=("d", "raw_slot"))
 def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
-                sh=None):
+                sh=None, raw_slot=False):
     """Nearest hit over the resident pool.  Returns (t, local_id, visited):
     t=inf / id=-1 for misses; visited = chunks tested per ray block
     (instrumentation).  ``skip`` is a LOCAL pool index (or -1).
@@ -562,7 +562,11 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     )(o8, d8, skip[:, None], init_t[:, None], order, n_eff,
       klo_t, khi_t, res["gt"], ci, res["ids"])
     # kernel returns the winning SLOT; map to the dedup'd global pool id
+    # (raw_slot skips the mapping so the caller can do ONE slot-indexed
+    # gather for id + hit geometry together)
     slot = out_id[:, 0]
+    if raw_slot:
+        return out_t[:, 0], slot, counts[::RAY_BLOCK, 0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
     return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]
@@ -1124,9 +1128,9 @@ def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d",))
+@partial(jax.jit, static_argnames=("d", "raw_slot"))
 def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
-                    active=None, sh=None):
+                    active=None, sh=None, raw_slot=False):
     """nearest_hit for pools too large for VMEM residency: the pool stays
     in HBM and visited chunks stream through a double buffer.  ``sh``
     (shared_rows_res) replaces the streamed ci chunks for primary rays."""
@@ -1185,6 +1189,8 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
     )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
       klo_t, khi_t, res["gt"], ci, res["ids"])
     slot = out_id[:, 0]
+    if raw_slot:
+        return out_t[:, 0], slot, counts[::RAY_BLOCK, 0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
     return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]

@@ -297,6 +297,7 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
             sh = pctx["sh_res"]
         else:
             order = dmin = sh = None
+        raw = "res_slot_pack" in arrs
         if active is not None:
             # wavefront compaction (SURVEY §7): live rays first, so
             # all-dead trailing blocks exit the chunk walk at step 0
@@ -304,18 +305,31 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
             inv = jnp.argsort(perm)
             kt, kid, vis = nearest(
                 res_k, o[perm], dirs[perm], skip_local[perm], d,
-                order=order, dmin=dmin, active=active[perm], sh=sh)
+                order=order, dmin=dmin, active=active[perm], sh=sh,
+                raw_slot=raw)
             kt, kid = kt[inv], kid[inv]
             _stat(stats, "rays_traced", jnp.sum(active.astype(jnp.int32)))
         else:
             kt, kid, vis = nearest(res_k, o, dirs, skip_local, d,
-                                   order=order, dmin=dmin, sh=sh)
+                                   order=order, dmin=dmin, sh=sh,
+                                   raw_slot=raw)
             _stat(stats, "rays_traced", R)
         _stat(stats, "chunks_visited", jnp.sum(vis))
-        carry = dict(
-            t=jnp.where(kid >= 0, kt, REAL_MAX),
-            pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
-        )
+        if raw:
+            # ONE gather recovers local id + face normal + material
+            row = arrs["res_slot_pack"][jnp.clip(kid, 0, None)]
+            gidl = row[:, d + 1].astype(jnp.int32)
+            carry = dict(
+                t=jnp.where(kid >= 0, kt, REAL_MAX),
+                pid=jnp.where(kid >= 0, gidl + arrs["tri_base"], -1),
+                fn=row[:, :d],
+                mat=row[:, d].astype(jnp.int32),
+            )
+        else:
+            carry = dict(
+                t=jnp.where(kid >= 0, kt, REAL_MAX),
+                pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
+            )
         return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
 
     if _kernel_ok(arrs, cfg, R):
@@ -428,7 +442,8 @@ def _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R):
             carry["tid"] = jnp.take_along_axis(alli, order, axis=1)
 
     point, normal, mat = _hit_geometry(arrs, cfg, o, dirs, carry["t"],
-                                       carry["pid"])
+                                       carry["pid"], fn=carry.get("fn"),
+                                       mat=carry.get("mat"))
     res = dict(t=carry["t"], pid=carry["pid"], point=point, normal=normal,
                mat=mat)
 
@@ -488,15 +503,19 @@ def _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R):
     return res
 
 
-def _hit_geometry(arrs, cfg, o, dirs, t, pid):
+def _hit_geometry(arrs, cfg, o, dirs, t, pid, fn=None, mat=None):
     """Recover hit point, view-facing normal, and material index from a
-    primitive id (gathers use this shard's local pool indices)."""
+    primitive id (gathers use this shard's local pool indices).  ``fn``/
+    ``mat`` skip the gathers when the trace already recovered them (the
+    slot-pack path)."""
     d = cfg.d
     point = o + t[:, None] * dirs
     local = pid - arrs["tri_base"]
 
     tri_id = jnp.clip(local, 0, cfg.n_tris - 1)
-    if "tri_pack" in arrs:
+    if fn is not None and mat is not None:
+        pass
+    elif "tri_pack" in arrs:
         # one (R, d+1) gather for normal + material id (two 1M-element
         # gathers fused into one; material ids are exact in f32)
         row = arrs["tri_pack"][tri_id]
@@ -1415,6 +1434,16 @@ def get_device_scene(scene):
                     # else: > MAX_CHUNKS chunks would overflow the packed
                     # 14-bit candidate encoding; fall back to the XLA scan
             if res is not None:
+                # slot-indexed packed rows [fn(d), mat, local gid]: the
+                # winner's id AND hit geometry come from ONE gather
+                # instead of a chained slot->gid->triangle-row pair
+                sids = res["ids"][:, 0, :].reshape(-1).astype(np.int64)
+                safe = np.clip(sids, 0, flat.config.n_tris - 1)
+                sp = np.empty((len(sids), d + 2), np.float32)
+                sp[:, :d] = arrs["tri_fn"][safe]
+                sp[:, d] = np.where(sids >= 0, arrs["tri_mat"][safe], 0)
+                sp[:, d + 1] = np.where(sids >= 0, sids, -1)
+                arrs["res_slot_pack"] = sp
                 if flat.config.has_transparency:
                     rk.add_opacity(res, arrs["tri_opacity"],
                                    ck=rk.HBM_CK if res_hbm else rk.CK)
