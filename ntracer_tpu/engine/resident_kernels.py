@@ -375,7 +375,7 @@ def _chunk_hits_vals(d, ck, shared, g, ci, idrow, o8, d8, skip):
 
 
 def _nearest_kernel(d, ck, shared, SB, o_ref, dir_ref, skip_ref, init_t_ref,
-                    order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                    order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                     gt_ref, ci_ref, ids_ref,
                     out_t_ref, out_id_ref, count_ref,
                     best_t, best_id):
@@ -397,17 +397,39 @@ def _nearest_kernel(d, ck, shared, SB, o_ref, dir_ref, skip_ref, init_t_ref,
     kernel), so batching sub-blocks amortizes it."""
     n_eff = neff_ref[0]
     for sb in range(SB):
-        _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
-                      init_t_ref, order_ref, klo_t_ref, khi_t_ref,
-                      gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
-                      count_ref, best_t, best_id)
+        _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref,
+                      skip_ref, init_t_ref, order_ref, blive_ref,
+                      klo_t_ref, khi_t_ref, gt_ref, ci_ref, ids_ref,
+                      out_t_ref, out_id_ref, count_ref, best_t, best_id)
 
 
-def _nearest_walk(d, ck, shared, sb, n_eff, o_ref, dir_ref, skip_ref,
-                  init_t_ref, order_ref, klo_t_ref, khi_t_ref,
+def _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref, skip_ref,
+                  init_t_ref, order_ref, blive_ref, klo_t_ref, khi_t_ref,
                   gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
                   count_ref, best_t, best_id):
     sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+
+    # dead ray blocks (every init_t == 0: bounce rays masked inactive,
+    # all-miss shadow batches) skip even the entry pass — the flag is
+    # precomputed on the host side and read from SMEM, costing no
+    # vector->scalar sync.  This replaces host-side compaction, whose
+    # permutation gathers cost far more than the blocks they saved.
+    out_t_ref[sl] = init_t_ref[sl]
+    out_id_ref[sl] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+
+    @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
+    def _walk():
+        _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref,
+                           skip_ref, init_t_ref, order_ref, klo_t_ref,
+                           khi_t_ref, gt_ref, ci_ref, ids_ref, out_t_ref,
+                           out_id_ref, count_ref, best_t, best_id)
+
+
+def _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref, skip_ref,
+                       init_t_ref, order_ref, klo_t_ref, khi_t_ref,
+                       gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
+                       count_ref, best_t, best_id):
     o8 = o_ref[sl]                # (RAY_BLOCK, 8) zero-padded coords
     d8 = dir_ref[sl]
     skip = skip_ref[sl]
@@ -517,6 +539,8 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     ci = res["ci"] if sh is None else sh
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
+    blive = (jnp.max(init_t.reshape(ni, RAY_BLOCK), axis=1) > 0) \
+        .astype(jnp.int32)
 
     SB = _sub_blocks(ni)
     ni //= SB
@@ -537,6 +561,7 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # order
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # klo_t (order space)
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
@@ -565,7 +590,7 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
         ],
-    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff,
+    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, blive,
       klo_t, khi_t, res["gt"], ci, res["ids"])
     # kernel returns the winning SLOT; map to the dedup'd global pool id
     # (raw_slot skips the mapping so the caller can do ONE slot-indexed
@@ -579,45 +604,50 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
 
 
 def _occlusion_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                      order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                      order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                       gt_ref, ci_ref, ids_ref,
                       out_ref, count_ref, blocked):
-    o8 = o_ref[:]
-    d8 = dir_ref[:]
-    skip = skip_ref[:]
-    ldist = ldist_ref[:]
+    out_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
 
-    blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-    n_eff = neff_ref[0]
+    @pl.when(blive_ref[pl.program_id(0)] != 0)
+    def _walk():
+        o8 = o_ref[:]
+        d8 = dir_ref[:]
+        skip = skip_ref[:]
+        ldist = ldist_ref[:]
 
-    # vectorized candidate scan with a single, latency-hidden scalar sync
-    # per iteration (see _nearest_kernel).
-    emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
-    ncp = emin.shape[1]
-    posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+        blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        n_eff = neff_ref[0]
 
-    def find_next(k0):
-        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
-                       axis=0, keepdims=True)                   # (1, 1)
-        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
-        return jnp.min(jnp.where(cand, posi, BIG_POS))
+        # vectorized candidate scan with a single, latency-hidden scalar
+        # sync per iteration (see _nearest_kernel).
+        emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
+        ncp = emin.shape[1]
+        posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
-    def body(state):
-        k, _, visited = state
-        nxt = find_next(k + 1)
-        idx = order_ref[k]
-        t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref, ids_ref,
-                               idx, o8, d8, skip)
-        valid &= t < ldist
-        hit = jnp.any(valid, axis=1, keepdims=True)
-        blocked[:] = jnp.where(hit, 1, blocked[:])
-        return nxt, nxt < BIG_POS, visited + 1
+        def find_next(k0):
+            lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                           axis=0, keepdims=True)                   # (1, 1)
+            cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
+            return jnp.min(jnp.where(cand, posi, BIG_POS))
 
-    k0 = find_next(jnp.int32(0))
-    _, _, visited = jax.lax.while_loop(
-        lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-    out_ref[:] = blocked[:]
-    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+        def body(state):
+            k, _, visited = state
+            nxt = find_next(k + 1)
+            idx = order_ref[k]
+            t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref, ids_ref,
+                                   idx, o8, d8, skip)
+            valid &= t < ldist
+            hit = jnp.any(valid, axis=1, keepdims=True)
+            blocked[:] = jnp.where(hit, 1, blocked[:])
+            return nxt, nxt < BIG_POS, visited + 1
+
+        k0 = find_next(jnp.int32(0))
+        _, _, visited = jax.lax.while_loop(
+            lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
+        out_ref[:] = blocked[:]
+        count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -638,6 +668,8 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
+    blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
+        .astype(jnp.int32)
 
     out, counts = pl.pallas_call(
         partial(_occlusion_kernel, d, ck),
@@ -654,6 +686,7 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # order
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
@@ -678,8 +711,8 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, klo_t, khi_t,
-      res["gt"], res["ci"], res["ids"])
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, blive,
+      klo_t, khi_t, res["gt"], res["ci"], res["ids"])
     return out[:, 0] != 0, counts[::RAY_BLOCK, 0]
 
 
@@ -691,11 +724,32 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
 
 
 def _nearest_t_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
-                      order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                      order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                       gt_ref, ci_ref, ids_ref,
                       opa_ref, out_t_ref, out_id_ref,
                       out_tt_ref, out_tid_ref, count_ref,
                       best_t, best_id, tt, tid):
+    out_t_ref[:] = init_t_ref[:]
+    out_id_ref[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    out_tt_ref[:] = jnp.full((RAY_BLOCK, K), INF, f32)
+    out_tid_ref[:] = jnp.full((RAY_BLOCK, K), -1, jnp.int32)
+    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+
+    @pl.when(blive_ref[pl.program_id(0)] != 0)
+    def _walk():
+        _nearest_t_live(d, ck, K, shared, o_ref, dir_ref, skip_ref,
+                        init_t_ref, order_ref, neff_ref, klo_t_ref,
+                        khi_t_ref, gt_ref, ci_ref, ids_ref, opa_ref,
+                        out_t_ref, out_id_ref, out_tt_ref, out_tid_ref,
+                        count_ref, best_t, best_id, tt, tid)
+
+
+def _nearest_t_live(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
+                    order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                    gt_ref, ci_ref, ids_ref,
+                    opa_ref, out_t_ref, out_id_ref,
+                    out_tt_ref, out_tid_ref, count_ref,
+                    best_t, best_id, tt, tid):
     o8 = o_ref[:]
     d8 = dir_ref[:]
     skip = skip_ref[:]
@@ -789,6 +843,8 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
 
+    blive = (jnp.max(init_t.reshape(ni, RAY_BLOCK), axis=1) > 0) \
+        .astype(jnp.int32)
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
@@ -802,6 +858,7 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
             full((C_PAD, ncp)), full((C_PAD, ncp)),
             full((nc, pr, ck)), full((nc, C_PAD, ck)),
             full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
@@ -822,8 +879,8 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
             pltpu.VMEM((RAY_BLOCK, K), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, K), jnp.int32),
         ],
-    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, klo_t, khi_t,
-      res["gt"], ci, res["ids"], res["opa"])
+    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, blive,
+      klo_t, khi_t, res["gt"], ci, res["ids"], res["opa"])
 
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     slot = out_id[:, 0]
@@ -833,10 +890,27 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
 
 
 def _occl_t_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                   order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                   order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                    gt_ref, ci_ref, ids_ref, opa_ref,
                    out_ref, filt_ref, count_ref,
                    blocked, filt):
+    out_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    filt_ref[:] = jnp.ones((RAY_BLOCK, 1), f32)
+    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+
+    @pl.when(blive_ref[pl.program_id(0)] != 0)
+    def _walk():
+        _occl_t_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                     order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                     gt_ref, ci_ref, ids_ref, opa_ref,
+                     out_ref, filt_ref, count_ref, blocked, filt)
+
+
+def _occl_t_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                 order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                 gt_ref, ci_ref, ids_ref, opa_ref,
+                 out_ref, filt_ref, count_ref,
+                 blocked, filt):
     o8 = o_ref[:]
     d8 = dir_ref[:]
     skip = skip_ref[:]
@@ -909,6 +983,8 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
+    blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
+        .astype(jnp.int32)
 
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -923,6 +999,7 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
             full((C_PAD, ncp)), full((C_PAD, ncp)),
             full((nc, pr, ck)), full((nc, C_PAD, ck)),
             full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
@@ -938,8 +1015,8 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, klo_t, khi_t,
-      res["gt"], res["ci"], res["ids"], res["opa"])
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, blive,
+      klo_t, khi_t, res["gt"], res["ci"], res["ids"], res["opa"])
     return out[:, 0] != 0, filt[:, 0], counts[::RAY_BLOCK, 0]
 
 
@@ -1038,11 +1115,31 @@ BIG_POS = np.int32(1 << 30)
 
 
 def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
-                        order_ref, dmin_ref, neff_ref, klo_t_ref, khi_t_ref,
+                        order_ref, dmin_ref, neff_ref, blive_ref,
+                        klo_t_ref, khi_t_ref,
                         gt_hbm, ci_hbm, ids_hbm,
                         out_t_ref, out_id_ref,
                         count_ref, best_t, best_id, gt_buf, ci_buf, ids_buf,
                         sems):
+    out_t_ref[:] = init_t_ref[:]
+    out_id_ref[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+
+    @pl.when(blive_ref[pl.program_id(0)] != 0)
+    def _walk():
+        _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref,
+                          init_t_ref, order_ref, dmin_ref, neff_ref,
+                          klo_t_ref, khi_t_ref, gt_hbm, ci_hbm, ids_hbm,
+                          out_t_ref, out_id_ref, count_ref, best_t,
+                          best_id, gt_buf, ci_buf, ids_buf, sems)
+
+
+def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
+                      order_ref, dmin_ref, neff_ref, klo_t_ref, khi_t_ref,
+                      gt_hbm, ci_hbm, ids_hbm,
+                      out_t_ref, out_id_ref,
+                      count_ref, best_t, best_id, gt_buf, ci_buf, ids_buf,
+                      sems):
     """HBM-pool walk with packed 4-candidate selection and 8-slot deep
     prefetch.  Like the VMEM walk, these loops are bound by per-iteration
     scalar syncs (~3.7 us each; the 100k-triangle mesh bench was flat
@@ -1156,6 +1253,8 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
     ci = res["ci"] if sh is None else sh
+    blive = (jnp.max(init_t.reshape(ni, RAY_BLOCK), axis=1) > 0) \
+        .astype(jnp.int32)
 
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -1169,6 +1268,7 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # klo_t (order space)
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
@@ -1192,7 +1292,7 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
             pltpu.VMEM((8, C_PAD, ck), jnp.int32),
             pltpu.SemaphoreType.DMA((8, 3)),
         ],
-    )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff,
+    )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff, blive,
       klo_t, khi_t, res["gt"], ci, res["ids"])
     slot = out_id[:, 0]
     if raw_slot:
@@ -1203,10 +1303,26 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
 
 
 def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                     order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                     order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                      gt_hbm, ci_hbm, ids_hbm,
                      out_ref, count_ref,
                      blocked, gt_buf, ci_buf, ids_buf, sems):
+    out_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+
+    @pl.when(blive_ref[pl.program_id(0)] != 0)
+    def _walk():
+        _occl_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                       order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                       gt_hbm, ci_hbm, ids_hbm, out_ref, count_ref,
+                       blocked, gt_buf, ci_buf, ids_buf, sems)
+
+
+def _occl_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                   order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                   gt_hbm, ci_hbm, ids_hbm,
+                   out_ref, count_ref,
+                   blocked, gt_buf, ci_buf, ids_buf, sems):
     """HBM-pool occlusion with the same packed 4-candidate selection +
     8-slot deep prefetch as _nearest_hbm_kernel.  lmax = 0 once every ray
     resolves, so the candidate scan doubles as the liveness check; extra
@@ -1302,6 +1418,8 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
 
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
+    blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
+        .astype(jnp.int32)
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     out, counts = pl.pallas_call(
@@ -1313,6 +1431,7 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
@@ -1333,7 +1452,7 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
             pltpu.VMEM((8, C_PAD, ck), jnp.int32),
             pltpu.SemaphoreType.DMA((8, 3)),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff,
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, blive,
       klo_t, khi_t, res["gt"], res["ci"], res["ids"])
     return out[:, 0] != 0, counts[::RAY_BLOCK, 0]
 
@@ -1359,11 +1478,34 @@ def _hbm_wait_t(arrs_hbm, bufs, sems, slot):
 
 
 def _nearest_t_hbm_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref,
-                          init_t_ref, order_ref, neff_ref, klo_t_ref,
+                          init_t_ref, order_ref, neff_ref, blive_ref,
+                          klo_t_ref,
                           khi_t_ref, gt_hbm, ci_hbm, ids_hbm, opa_hbm,
                           out_t_ref, out_id_ref, out_tt_ref, out_tid_ref,
                           count_ref, best_t, best_id, tt, tid,
                           gt_buf, ci_buf, ids_buf, opa_buf, sems):
+    out_t_ref[:] = init_t_ref[:]
+    out_id_ref[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    out_tt_ref[:] = jnp.full((RAY_BLOCK, K), INF, f32)
+    out_tid_ref[:] = jnp.full((RAY_BLOCK, K), -1, jnp.int32)
+    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+
+    @pl.when(blive_ref[pl.program_id(0)] != 0)
+    def _walk():
+        _nearest_t_hbm_live(d, ck, K, shared, o_ref, dir_ref, skip_ref,
+                            init_t_ref, order_ref, neff_ref, klo_t_ref,
+                            khi_t_ref, gt_hbm, ci_hbm, ids_hbm, opa_hbm,
+                            out_t_ref, out_id_ref, out_tt_ref, out_tid_ref,
+                            count_ref, best_t, best_id, tt, tid,
+                            gt_buf, ci_buf, ids_buf, opa_buf, sems)
+
+
+def _nearest_t_hbm_live(d, ck, K, shared, o_ref, dir_ref, skip_ref,
+                        init_t_ref, order_ref, neff_ref, klo_t_ref,
+                        khi_t_ref, gt_hbm, ci_hbm, ids_hbm, opa_hbm,
+                        out_t_ref, out_id_ref, out_tt_ref, out_tid_ref,
+                        count_ref, best_t, best_id, tt, tid,
+                        gt_buf, ci_buf, ids_buf, opa_buf, sems):
     o8 = o_ref[:]
     d8 = dir_ref[:]
     skip = skip_ref[:]
@@ -1487,6 +1629,8 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
     ci = res["ci"] if sh is None else sh
+    blive = (jnp.max(init_t.reshape(ni, RAY_BLOCK), axis=1) > 0) \
+        .astype(jnp.int32)
 
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -1499,6 +1643,7 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
@@ -1529,8 +1674,8 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
             pltpu.VMEM((8, C_PAD, ck), jnp.float32),
             pltpu.SemaphoreType.DMA((8, 4)),
         ],
-    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, klo_t, khi_t,
-      res["gt"], ci, res["ids"], res["opa"])
+    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, blive,
+      klo_t, khi_t, res["gt"], ci, res["ids"], res["opa"])
 
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     slot = out_id[:, 0]
@@ -1540,11 +1685,31 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
 
 
 def _occl_t_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                       order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                       order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                        gt_hbm, ci_hbm, ids_hbm, opa_hbm,
                        out_ref, filt_ref, count_ref,
                        blocked, filt, gt_buf, ci_buf, ids_buf, opa_buf,
                        sems):
+    out_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    filt_ref[:] = jnp.ones((RAY_BLOCK, 1), f32)
+    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+
+    @pl.when(blive_ref[pl.program_id(0)] != 0)
+    def _walk():
+        _occl_t_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                         order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                         gt_hbm, ci_hbm, ids_hbm, opa_hbm,
+                         out_ref, filt_ref, count_ref,
+                         blocked, filt, gt_buf, ci_buf, ids_buf, opa_buf,
+                         sems)
+
+
+def _occl_t_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+                     order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                     gt_hbm, ci_hbm, ids_hbm, opa_hbm,
+                     out_ref, filt_ref, count_ref,
+                     blocked, filt, gt_buf, ci_buf, ids_buf, opa_buf,
+                     sems):
     """HBM transparent occlusion: any-opaque-hit + transparency product
     with packed 4-candidate selection + deep prefetch."""
     o8 = o_ref[:]
@@ -1649,6 +1814,8 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
+    blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
+        .astype(jnp.int32)
 
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -1661,6 +1828,7 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
@@ -1686,6 +1854,6 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
             pltpu.VMEM((8, C_PAD, ck), jnp.float32),
             pltpu.SemaphoreType.DMA((8, 4)),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, klo_t, khi_t,
-      res["gt"], res["ci"], res["ids"], res["opa"])
+    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, blive,
+      klo_t, khi_t, res["gt"], res["ci"], res["ids"], res["opa"])
     return out[:, 0] != 0, filt[:, 0], counts[::RAY_BLOCK, 0]

@@ -237,8 +237,8 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
     ``shared_origin`` (d,) enables exact front-to-back chunk ordering +
     early traversal exit (valid when every ray starts there — primary
     rays).  ``active`` masks rays out of the trace entirely (bounce rays
-    whose weight died); with the resident kernel, live rays are compacted
-    to the front so fully-dead ray blocks terminate immediately.
+    whose weight died); all-dead ray blocks are skipped inside the
+    resident kernels via per-block liveness flags.
     ``stats`` (optional dict) accumulates instrumentation counters.
     ``pctx`` (from primary_ctx) carries the frame-level shared-origin
     precomputes so per-tile calls don't recompute them."""
@@ -298,22 +298,14 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         else:
             order = dmin = sh = None
         raw = "res_slot_pack" in arrs
-        if active is not None:
-            # wavefront compaction (SURVEY §7): live rays first, so
-            # all-dead trailing blocks exit the chunk walk at step 0
-            perm = jnp.argsort(jnp.where(active, 0, 1))
-            inv = jnp.argsort(perm)
-            kt, kid, vis = nearest(
-                res_k, o[perm], dirs[perm], skip_local[perm], d,
-                order=order, dmin=dmin, active=active[perm], sh=sh,
-                raw_slot=raw)
-            kt, kid = kt[inv], kid[inv]
-            _stat(stats, "rays_traced", jnp.sum(active.astype(jnp.int32)))
-        else:
-            kt, kid, vis = nearest(res_k, o, dirs, skip_local, d,
-                                   order=order, dmin=dmin, sh=sh,
-                                   raw_slot=raw)
-            _stat(stats, "rays_traced", R)
+        # no host-side compaction: inactive rays get init_t=0 inside the
+        # kernel wrapper and all-dead ray blocks are skipped via
+        # per-block liveness flags (cheaper than permutation gathers)
+        kt, kid, vis = nearest(res_k, o, dirs, skip_local, d,
+                               order=order, dmin=dmin, active=active,
+                               sh=sh, raw_slot=raw)
+        _stat(stats, "rays_traced",
+              R if active is None else jnp.sum(active.astype(jnp.int32)))
         _stat(stats, "chunks_visited", jnp.sum(vis))
         if raw:
             # ONE gather recovers local id + face normal + material
@@ -599,8 +591,9 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None):
     (light_reaches, tracer.hpp:1750-1766, with true any-hit semantics).
 
     Rays with ``ldist <= 0`` are inactive (shadow queries skipped by the
-    caller's early-outs); the resident kernel compacts live rays to the
-    front so fully-dead ray blocks cost nothing."""
+    caller's early-outs); all-dead ray blocks are skipped inside the
+    kernels via per-block liveness flags, and fully-dead batches skip
+    the kernel launch entirely."""
     R = o.shape[0]
     d = cfg.d
 
@@ -617,25 +610,36 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None):
         exit_t = rk._scene_exit(o, dirs, res_k["b_lo"], res_k["b_hi"])
         pool_ldist = jnp.minimum(ldist, exit_t)
         live = pool_ldist > 0
-        perm = jnp.argsort(jnp.where(live, 0, 1))
-        inv = jnp.argsort(perm)
-        if cfg.has_transparency:
-            res_k["opa"] = arrs["res_opa"]
-            occ_t = rk.occluded_transparent_hbm if "res_is_hbm" in arrs \
-                else rk.occluded_transparent
-            blk, flt, vis = occ_t(
-                res_k, o[perm], dirs[perm], pool_ldist[perm],
-                skip_local[perm], d)
-            flt = flt[inv]
-        else:
-            occ = rk.occluded_hbm if _kernel2h_ok(arrs, cfg, R) \
-                else rk.occluded
-            blk, vis = occ(res_k, o[perm], dirs[perm], pool_ldist[perm],
-                           skip_local[perm], d)
-            flt = jnp.ones((R,), f32)
+
+        def walk(_):
+            # no host-side compaction: the kernels skip dead ray blocks
+            # via precomputed per-block liveness flags, which beats
+            # paying several 1M-element permutation gathers here
+            if cfg.has_transparency:
+                res_k2 = dict(res_k)
+                res_k2["opa"] = arrs["res_opa"]
+                occ_t = rk.occluded_transparent_hbm if "res_is_hbm" in arrs \
+                    else rk.occluded_transparent
+                blk, flt, vis = occ_t(res_k2, o, dirs, pool_ldist,
+                                      skip_local, d)
+            else:
+                occ = rk.occluded_hbm if _kernel2h_ok(arrs, cfg, R) \
+                    else rk.occluded
+                blk, vis = occ(res_k, o, dirs, pool_ldist, skip_local, d)
+                flt = jnp.ones((R,), f32)
+            return blk, flt, jnp.sum(vis)
+
+        def no_work(_):
+            return (jnp.zeros((R,), bool), jnp.ones((R,), f32),
+                    jnp.int32(0))
+
+        # entire scenes' shadow batches can be dead (lights below the
+        # contribution threshold, all-miss tiles): skip the kernel AND the
+        # partition entirely rather than launching an all-dead walk
+        blk, flt, nvis = jax.lax.cond(jnp.any(live), walk, no_work, None)
         _stat(stats, "shadow_rays", jnp.sum(live.astype(jnp.int32)))
-        _stat(stats, "occl_chunks_visited", jnp.sum(vis))
-        carry = dict(blocked=blk[inv], filt=flt)
+        _stat(stats, "occl_chunks_visited", nvis)
+        carry = dict(blocked=blk, filt=flt)
         return _occlusion_finish(arrs, cfg, o, dirs, ldist, skip, carry)
 
     if _kernel_ok(arrs, cfg, R):
@@ -891,10 +895,6 @@ def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False,
     stats = {} if with_stats else None
 
     max_bounces = cfg.max_reflect_depth if cfg.has_reflectivity else 0
-    # shade-stage compaction pairs with the resident kernel's per-block
-    # early exit; pointless (pure overhead) on the other paths
-    compact = (_kernel2_ok(arrs, cfg, R)
-               or _kernel2h_ok(arrs, cfg, R)) and cfg.shadows
 
     for depth in range(max_bounces + 1):
         res = trace_pool(arrs, cfg, o, dirs, skip,
@@ -905,23 +905,9 @@ def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False,
         hit = res["hit"] & (dist >= 0)
         live = hit if depth == 0 else (hit & active)
 
-        if compact:
-            # sort shaded rays to the front so the occlusion kernels see
-            # all-dead trailing blocks (they exit their chunk walk at
-            # step 0) — the misses' shadow queries vanish
-            perm = jnp.argsort(jnp.where(live, 0, 1))
-            inv = jnp.argsort(perm)
-            local, child_coef, child_dir = shade_local(
-                arrs, cfg, dirs[perm], res["point"][perm],
-                res["normal"][perm], res["pid"][perm], res["mat"][perm],
-                depth, dyn, active=live[perm], stats=stats)
-            local = local[inv]
-            child_coef = child_coef[inv]
-            child_dir = child_dir[inv]
-        else:
-            local, child_coef, child_dir = shade_local(
-                arrs, cfg, dirs, res["point"], res["normal"], res["pid"],
-                res["mat"], depth, dyn, active=live, stats=stats)
+        local, child_coef, child_dir = shade_local(
+            arrs, cfg, dirs, res["point"], res["normal"], res["pid"],
+            res["mat"], depth, dyn, active=live, stats=stats)
         bg = background(cfg, dyn, dirs)
         color_here = jnp.where(hit[:, None], local, bg)
 

@@ -136,3 +136,19 @@ def test_polytope_png_output(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     files = sorted(p.name for p in out.iterdir())
     assert files == ["frame0000.png"]
+
+
+def test_polytope_benchmark_pipelined(tmp_path):
+    """polytope.py --benchmark drives the pipelined CallbackRenderer path
+    (several frames in flight); it must complete and report stats."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", SDL_VIDEODRIVER="dummy")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "polytope.py"),
+         "4", "3", "--benchmark", "-s", "48x48", "-f", "5"],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "rendered 5 frame(s)" in r.stdout
+    assert "frames per second" in r.stdout
