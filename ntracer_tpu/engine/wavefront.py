@@ -1017,31 +1017,6 @@ def _render_tile_box(d, cam_origin, cam_t, fov_params, xs, ys):
     return _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
 
 
-@partial(jax.jit, static_argnames=("cfg", "w", "key"))
-def _tile_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
-                           start, w, key):
-    """One TILE of rays -> packed pixel bytes, fully on device.  Pixel
-    coordinates come from an on-device iota (no per-tile H2D) and only the
-    packed uint8 tile crosses the host link (which is slow on tunneled
-    TPU setups)."""
-    from . import packing
-    xs, ys, swz = _ray_coords(start, w)
-    fovI, half_w, half_h = fov_params
-    o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
-    colors = ray_colors(arrs, cfg, dyn, o, dirs)
-    if swz is not None:
-        colors = swz(colors)
-    return packing.pack_device(colors, key)
-
-
-@partial(jax.jit, static_argnames=("d", "w", "key"))
-def _tile_packed_box(d, cam_origin, cam_t, fov_params, start, w, key):
-    from . import packing
-    xs, ys, swz = _ray_coords(start, w)
-    colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
-    if swz is not None:
-        colors = swz(colors)
-    return packing.pack_device(colors, key)
 
 
 @partial(jax.jit, static_argnames=("cfg", "w", "n_tiles", "key"))
