@@ -152,3 +152,19 @@ def test_polytope_benchmark_pipelined(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     assert "rendered 5 frame(s)" in r.stdout
     assert "frames per second" in r.stdout
+
+
+def test_hypercube_benchmark():
+    """hypercube.py --benchmark renders the BoxScene animation and
+    reports stats (the interactive UI is pygame-only; the benchmark mode
+    is the CI-runnable slice)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", SDL_VIDEODRIVER="dummy")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "hypercube.py"),
+         "-d", "4", "--benchmark", "-s", "48x48", "-f2", "3"],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "rendered 3 frame(s)" in r.stdout
