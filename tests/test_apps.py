@@ -132,7 +132,7 @@ def test_polytope_png_output(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "polytope.py"),
          "4", "3", "--output", str(out), "-t", "png", "-s", "48x48",
          "-f", "1"],
-        capture_output=True, text=True, timeout=500, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-500:]
     files = sorted(p.name for p in out.iterdir())
     assert files == ["frame0000.png"]
@@ -148,7 +148,7 @@ def test_polytope_benchmark_pipelined(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "polytope.py"),
          "4", "3", "--benchmark", "-s", "48x48", "-f", "5"],
-        capture_output=True, text=True, timeout=500, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-500:]
     assert "rendered 5 frame(s)" in r.stdout
     assert "frames per second" in r.stdout
@@ -165,6 +165,6 @@ def test_hypercube_benchmark():
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "hypercube.py"),
          "-d", "4", "--benchmark", "-s", "48x48", "-f2", "3"],
-        capture_output=True, text=True, timeout=500, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-500:]
     assert "rendered 3 frame(s)" in r.stdout
