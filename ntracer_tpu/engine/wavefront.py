@@ -585,7 +585,8 @@ def _solid_test(arrs, s, o, dirs, d):
 # Occlusion (shadow) query: any opaque hit + transparency product
 # ---------------------------------------------------------------------------
 
-def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None):
+def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None,
+              clamp_exit=True):
     """Returns (blocked (R,), filt (R,)) — filt is the product of
     (1 - opacity) over transparent hits with 0 < t < ldist
     (light_reaches, tracer.hpp:1750-1766, with true any-hit semantics).
@@ -607,8 +608,13 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None):
         # (ldist=REAL_MAX, tracer.hpp:1759) get per-ray early termination
         # instead of walking chunks to pool exhaustion.  Solids are tested
         # against the ORIGINAL ldist in _occlusion_finish.
-        exit_t = rk._scene_exit(o, dirs, res_k["b_lo"], res_k["b_hi"])
-        pool_ldist = jnp.minimum(ldist, exit_t)
+        if clamp_exit:
+            exit_t = rk._scene_exit(o, dirs, res_k["b_lo"], res_k["b_hi"])
+            pool_ldist = jnp.minimum(ldist, exit_t)
+        else:
+            # point-light queries arrive with finite ldist already; skip
+            # the exit computation (clamping only ever tightens)
+            pool_ldist = ldist
         live = pool_ldist > 0
 
         def walk(_):
@@ -784,7 +790,7 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
                 want &= active
             blocked, filt = occlusion(arrs, cfg, point, lv,
                                       jnp.where(want, dist, 0.0), pid,
-                                      stats=stats)
+                                      stats=stats, clamp_exit=False)
             ok = want & ~blocked
             filtered = plc[None, :] * filt[:, None] * strength[:, None]
             light += jnp.where(ok[:, None], filtered * sine[:, None], 0.0)
