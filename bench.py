@@ -38,15 +38,24 @@ REF_LIB = os.path.join(REF_BUILD, "build", "lib.linux-x86_64-cpython-312")
 
 
 def run_tpu_parity():
-    """Hardware gate: returns (mismatches, ok) or (-1, False) on failure."""
+    """Hardware gate: returns (mismatches, ok) or (-1, False) on failure.
+
+    The gate writes its artifact fresh each run; a crashed run must NOT
+    fall back to a stale committed PARITY_TPU.json, so the output goes to
+    a temp path and only replaces the repo artifact on success."""
     out_json = os.path.join(REPO, "PARITY_TPU.json")
+    tmp_json = "/tmp/_parity_tpu_bench.json"
     try:
+        if os.path.exists(tmp_json):
+            os.remove(tmp_json)
         subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "tpu_parity.py"),
-             "--out", out_json],
+             "--out", tmp_json],
             timeout=3600, capture_output=True)
-        with open(out_json) as f:
+        with open(tmp_json) as f:      # missing file -> except -> (-1, False)
             data = json.load(f)
+        import shutil
+        shutil.copy(tmp_json, out_json)
         mism = sum(r.get("mismatches", 0) for r in data.get("results", []))
         return mism, bool(data.get("ok"))
     except Exception:

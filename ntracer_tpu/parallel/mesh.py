@@ -127,7 +127,9 @@ def _shard_layouts(arrs, cull_lo, cull_hi, cfg, n_prim, per_shard, d):
             np.asarray(arrs["tri_fn"][sl]), np.asarray(arrs["tri_en"][sl]),
             np.asarray(arrs["tri_dc"][sl]), cull_lo[sl], cull_hi[sl], d,
             ck=ck)
-        if cfg.has_transparency and not hbm:
+        if cfg.has_transparency:
+            # both the VMEM and HBM transparent kernels consume the
+            # opacity rows (the HBM K-buffer walk streams them per chunk)
             rk.add_opacity(res, np.asarray(arrs["tri_opacity"][sl]), ck=ck)
         res["base_order"] = np.arange(nmax, dtype=np.int32)
         per_res.append(res)

@@ -512,6 +512,13 @@ class CallbackRenderer(_RendererBase):
             try:
                 ok = wavefront.pull_packed(slabs, fmt, view,
                                            lambda: self._abort)
+            except Exception:
+                # a failed pull (device/link error) must not kill the
+                # persistent worker: later queued frames and abort_render
+                # waiters depend on it (the reference prints worker
+                # exceptions and carries on, render.cpp:538-541)
+                import traceback
+                traceback.print_exc()
             finally:
                 with self._mut:
                     self._jobs -= 1

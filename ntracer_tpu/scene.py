@@ -135,16 +135,18 @@ class _LightList:
         return i
 
     def __setitem__(self, i, light):
-        # cs_light_list_setitem (ntracer_body.hpp:3131-3146): lock check,
-        # then in-place replacement
-        self._check(light)
+        # cs_light_list_setitem (ntracer_body.hpp:3131-3146): the LOCK
+        # check comes first, then index/type validation, then replacement
+        self._scene._ensure_unlocked()
         i = self._norm_index(i)
+        self._check(light)
         self._scene._mutate()
         self._items[i] = light
 
     def __delitem__(self, i):
         # deletion swaps with the last element then pops (the reference's
         # sq_ass_item with value=NULL, ntracer_body.hpp:3142-3144)
+        self._scene._ensure_unlocked()
         i = self._norm_index(i)
         self._scene._mutate()
         if i != len(self._items) - 1:
@@ -152,6 +154,8 @@ class _LightList:
         self._items.pop()
 
     def append(self, light):
+        # cs_light_list_append: ensure_unlocked precedes the type check
+        self._scene._ensure_unlocked()
         self._check(light)
         self._scene._mutate()
         self._items.append(light)

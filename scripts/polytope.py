@@ -439,10 +439,14 @@ def main():
 
         t0 = timer()
         for f in range(args.frames):
-            sem.acquire()
+            if not sem.acquire(timeout=600):
+                raise RuntimeError("render queue stalled (frame callback "
+                                   "never fired)")
             crenderer.begin_render(bufs[f % depth], fmt, scene, cb)
             advance_camera()
-        done.wait()
+        if not done.wait(timeout=600 + 10 * args.frames):
+            raise RuntimeError(f"benchmark stalled at {frames}/"
+                               f"{args.frames} frames")
         total = timer() - t0
         print("rendered {0} frame(s) in {1} seconds\n"
               "time per frame: {2} seconds\n"
