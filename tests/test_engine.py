@@ -342,3 +342,46 @@ def test_sharded_kernel_path_matches_single(monkeypatch):
     assert arrs["res_gt"].shape[0] == 2  # one layout per prim shard
     sharded = pmesh.render_frame(scene, fmt, m)
     assert np.abs(single - sharded).max() < 1e-5
+
+
+def test_sharded_transparent_hbm_kernel_path(monkeypatch):
+    """Prim-sharded TRANSPARENT pools beyond the VMEM budget keep the
+    streaming K-buffer kernel fast path (per-shard layouts ship opacity
+    rows); output must match single-device."""
+    import jax
+    from ntracer_tpu.parallel import mesh as pmesh
+    from ntracer_tpu.engine import wavefront
+    from ntracer_tpu.engine import resident_kernels as rk
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    monkeypatch.setattr(rk, "POOL_VMEM_BUDGET", 1024)
+
+    nt = NTracer(3)
+    glass = Material((1, 0.7, 0.7), opacity=0.4)
+    solid_m = Material((0.3, 0.8, 0.5))
+    rng = np.random.RandomState(31)
+    protos = []
+    for i in range(600):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.5, 0.5, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, glass if i % 2 else solid_m))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector(0, 0, -8))
+    scene.set_camera(cam)
+
+    w = h = 32
+    fmt = _Fmt(w, h)
+    scene._set_view_size(w, h)
+    single = wavefront.render_strip_composite(scene, fmt, 0, h)
+
+    m = pmesh.make_mesh(2, 2)
+    total = w * h
+    tile = -(-total // 2) * 2
+    fn, arrs = pmesh.get_sharded_renderer(scene, m, tile)
+    assert "res_opa" in arrs and "res_is_hbm" in arrs
+    sharded = pmesh.render_frame(scene, fmt, m)
+    assert np.abs(single - sharded).max() < 1e-5
