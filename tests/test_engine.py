@@ -385,3 +385,30 @@ def test_sharded_transparent_hbm_kernel_path(monkeypatch):
     assert "res_opa" in arrs and "res_is_hbm" in arrs
     sharded = pmesh.render_frame(scene, fmt, m)
     assert np.abs(single - sharded).max() < 1e-5
+
+
+def test_callback_renderer_abort_queue():
+    """abort_render drains the queue: pending frames are dropped without
+    callbacks and the renderer is reusable afterwards
+    (render.cpp:702-722 semantics at frame granularity)."""
+    import threading
+    from ntracer_tpu.render import (CallbackRenderer, ImageFormat, Channel)
+    from ntracer_tpu.wrapper import NTracer as _NT
+
+    nt = _NT(3)
+    scene = _random_scene(nt, n=8, seed=17)
+    w = h = 24
+    fmt = ImageFormat(w, h, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                             Channel(8, 0, 0, 1)])
+    cr = CallbackRenderer()
+    calls = []
+    bufs = [bytearray(fmt.pitch * fmt.height) for _ in range(2)]
+    for k in range(2):
+        cr.begin_render(bufs[k], fmt, scene, lambda r: calls.append(1))
+    cr.abort_render()          # blocks until the queue drains
+
+    # renderer is reusable after an abort
+    done = threading.Event()
+    cr.begin_render(bufs[0], fmt, scene, lambda r: done.set())
+    assert done.wait(timeout=120)
+    assert bytes(bufs[0]) != bytes(bytearray(fmt.pitch * fmt.height))
