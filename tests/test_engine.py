@@ -412,3 +412,39 @@ def test_callback_renderer_abort_queue():
     cr.begin_render(bufs[0], fmt, scene, lambda r: done.set())
     assert done.wait(timeout=120)
     assert bytes(bufs[0]) != bytes(bytearray(fmt.pitch * fmt.height))
+
+
+def test_callback_renderer_survives_failed_pull(monkeypatch):
+    """A pull that raises (device/link error) must not kill the persistent
+    worker: the failed frame gets no callback, later frames still render."""
+    import threading
+    from ntracer_tpu.engine import wavefront
+    from ntracer_tpu.render import CallbackRenderer, ImageFormat, Channel
+    from ntracer_tpu.wrapper import NTracer as _NT
+
+    nt = _NT(3)
+    scene = _random_scene(nt, n=8, seed=19)
+    w = h = 24
+    fmt = ImageFormat(w, h, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                             Channel(8, 0, 0, 1)])
+
+    real_pull = wavefront.pull_packed
+    fail_once = [True]
+
+    def flaky_pull(*a, **k):
+        if fail_once[0]:
+            fail_once[0] = False
+            raise RuntimeError("injected link failure")
+        return real_pull(*a, **k)
+
+    monkeypatch.setattr(wavefront, "pull_packed", flaky_pull)
+    cr = CallbackRenderer()
+    buf = bytearray(fmt.pitch * fmt.height)
+    called = threading.Event()
+    cr.begin_render(buf, fmt, scene, lambda r: called.set())
+    cr.abort_render()          # waits for the (failed) job to drain
+    assert not called.is_set()
+
+    done = threading.Event()
+    cr.begin_render(buf, fmt, scene, lambda r: done.set())
+    assert done.wait(timeout=120)      # worker survived, frame completed
