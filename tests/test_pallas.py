@@ -404,3 +404,32 @@ def test_transparent_hbm_path_matches_xla(monkeypatch):
     scene._device_cache = (cfg, no_k, flat)
     eng2 = wavefront.render_strip_composite(scene, F, 0, h)
     assert float(np.abs(eng - eng2).max()) < 2e-5
+
+
+def test_oversized_pool_refuses_packed_walks(monkeypatch):
+    """Pools with >= 2^14-1 chunks must refuse the packed candidate walks
+    (14-bit position encoding would collide with the sentinel) and the
+    scene build must fall back to the XLA scan instead of preparing
+    kernel layouts (ADVICE r2)."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="packed candidate"):
+        rk._check_nc(rk.MAX_CHUNKS + 1)
+
+    # the scene-build path: force tiny HBM chunks so the bin count would
+    # exceed the limit, and verify the layouts are NOT prepared
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    monkeypatch.setattr(rk, "POOL_VMEM_BUDGET", 1024)   # force HBM branch
+    monkeypatch.setattr(rk, "HBM_CK", 1)                # 1 tri per chunk
+    monkeypatch.setattr(rk, "MAX_CHUNKS", 64)           # tiny limit
+    nt = NTracer(3)
+    mat = Material((1, 0.5, 0.5))
+    rng = np.random.RandomState(3)
+    protos = []
+    for _ in range(600):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.5, 0.5, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, mat))
+    scene = nt.build_composite_scene(protos)
+    cfg, device, _ = wavefront.get_device_scene(scene)
+    assert "res_gt" not in device  # fell back to the XLA scan
