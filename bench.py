@@ -166,12 +166,19 @@ def main():
 
     print(json.dumps({
         "metric": "120-cell 4D @1024^2 primary rays",
-        "value": round((W * H) / sec_per_frame / 1e6, 3),
+        # headline = what the chip does (the e2e number is bound by the
+        # tunneled ~22 MB/s host link, an environment artifact the C++
+        # reference — running locally — does not pay; VERDICT-r3 #6)
+        "value": round((W * H) / dev_sec / 1e6, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(ref_sec / sec_per_frame, 3),
+        "value_note": "on-device engine throughput; e2e fields below "
+                      "include the tunneled host-link pull",
+        "vs_baseline": round(ref_sec / dev_sec, 3),
+        "vs_baseline_e2e": round(ref_sec / sec_per_frame, 3),
         "baseline_source": baseline_source,
         "ref_sec_per_frame": round(ref_sec, 4),
         "e2e_ms_per_frame": round(sec_per_frame * 1000, 2),
+        "e2e_mrays": round((W * H) / sec_per_frame / 1e6, 3),
         "on_device_ms_per_frame": round(dev_sec * 1000, 2),
         "on_device_mrays": round((W * H) / dev_sec / 1e6, 3),
         "tpu_parity_mismatches": parity_mism,

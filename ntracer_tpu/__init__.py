@@ -21,4 +21,4 @@ __all__ = ["Color", "Material", "Channel", "ImageFormat", "CallbackRenderer",
            "BlockingRenderer", "NTracer", "CUBE", "SPHERE", "render",
            "wrapper"]
 
-__version__ = "0.1.0"
+from ._version import __version__  # noqa: E402  (derived, not hardcoded)

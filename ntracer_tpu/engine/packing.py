@@ -97,6 +97,17 @@ def pack_device(colors, key):
     return jnp.stack(out, axis=1)
 
 
+def pack_flat(colors: np.ndarray, fmt: ImageFormat) -> np.ndarray:
+    """Host packing of a flat color slab: (N, 3) float32 -> (N, bpp) uint8.
+
+    Used when the engine routes a wide-channel format (>23-bit integer
+    channels) around the device packer: the dispatch ships raw floats and
+    this packs them with the reference's exact 64-bit math."""
+    n = colors.shape[0]
+    return pack_rows(colors.reshape(1, n, 3), fmt).reshape(
+        n, fmt.bytes_per_pixel)
+
+
 def pack_rows(colors: np.ndarray, fmt: ImageFormat) -> np.ndarray:
     """Host packing: (rows, W, 3) float32 -> (rows, W*bpp) uint8."""
     rows, w, _ = colors.shape

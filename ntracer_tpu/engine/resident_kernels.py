@@ -91,12 +91,27 @@ def _sub_blocks(ni):
     so the count is bounded by a VMEM budget.  NTRACER_SB overrides for
     hardware sweeps."""
     import os
+    per_walk = max(1, int(3.5e6 * RAY_BLOCK / 512))
+    sb_max = max(1, min(8, (10 * 1024 * 1024) // per_walk))
     env = os.environ.get("NTRACER_SB")
     if env:
-        sb = max(1, int(env))
+        # hardware-sweep override: clamp to the VMEM-budget maximum (a
+        # larger value is a known scoped-vmem overflow -> opaque Mosaic
+        # compile failure) and survive junk values (ADVICE-r3 #4)
+        try:
+            sb = max(1, int(env))
+        except ValueError:
+            import warnings
+            warnings.warn(f"NTRACER_SB={env!r} is not an integer; ignoring")
+            sb = sb_max
+        if sb > sb_max:
+            import warnings
+            warnings.warn(
+                f"NTRACER_SB={sb} exceeds the scoped-vmem budget maximum "
+                f"{sb_max}; clamping")
+            sb = sb_max
     else:
-        per_walk = max(1, int(3.5e6 * RAY_BLOCK / 512))
-        sb = max(1, min(8, (10 * 1024 * 1024) // per_walk))
+        sb = sb_max
     while sb > 1 and ni % sb:
         sb -= 1
     return sb

@@ -1053,7 +1053,9 @@ def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
         colors = ray_colors(arrs, cfg, dyn, o, dirs, pctx=pctx)
         if swz is not None:
             colors = swz(colors)
-        return packing.pack_device(colors, key)
+        # key=None: wide-channel format — ship raw floats; pull_packed
+        # packs them on the host with exact 64-bit math
+        return colors if key is None else packing.pack_device(colors, key)
 
     n_groups = n_tiles // group_tiles
     if n_groups == 1:
@@ -1077,7 +1079,7 @@ def _frame_packed_box(d, cam_origin, cam_t, fov_params, base, w, n_tiles,
         colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
         if swz is not None:
             colors = swz(colors)
-        return packing.pack_device(colors, key)
+        return colors if key is None else packing.pack_device(colors, key)
 
     n_groups = n_tiles // group_tiles
     if n_groups == 1:
@@ -1175,7 +1177,7 @@ def dispatch_packed(scene, fmt):
 
     scene._set_view_size(fmt.width, fmt.height)
     fov = _fov_params(fmt.width, fmt.height, scene.fov)
-    key = packing.format_key(fmt)
+    key = None if _needs_host_pack(fmt) else packing.format_key(fmt)
     cam_origin = jnp.asarray(scene._cam._origin)
     cam_t = jnp.asarray(scene._cam._t)
 
@@ -1228,13 +1230,29 @@ def dispatch_packed(scene, fmt):
 def pull_packed(slabs, fmt, view, abort_check) -> bool:
     """Pull dispatched slabs into the writable byte ``view``; returns
     False when aborted (granularity: between slab pulls)."""
+    from . import packing
     total = fmt.width * fmt.height
     for start_px, dev in slabs:
         if abort_check():
             return False
         data = np.asarray(dev)  # D2H; later slabs still computing
+        if data.dtype != np.uint8:
+            # wide-channel format: the dispatch shipped raw floats
+            # (_needs_host_pack); pack bit-exactly here
+            data = packing.pack_flat(data, fmt)
         _write_pixels(view, fmt, data, start_px, total)
     return True
+
+
+def _needs_host_pack(fmt) -> bool:
+    """Integer channels wider than 23 bits exceed what the device packer's
+    float32 rounding correction can carry (packing.pack_device); those
+    formats route to the bit-exact host packer (reference double math,
+    render.cpp:396-466) so no format deviates by even one code.  The
+    dispatch then ships raw float colors and pull_packed packs on the
+    host — 12 bytes/pixel of link traffic instead of bytes_per_pixel,
+    paid only by wide-channel formats."""
+    return any((not ch.tfloat) and ch.bit_size > 23 for ch in fmt.channels)
 
 
 def render_packed(scene, fmt, view, abort_check) -> bool:
@@ -1340,6 +1358,12 @@ def get_device_scene(scene):
             np.asarray(arrs["mat_spec_int"], np.float32)[:, None],
             np.asarray(arrs["mat_spec_exp"], np.float32)[:, None],
         ], axis=1)
+        # packed rows store integer ids as float32 — exact only below 2^24.
+        # The packed walks are separately gated at MAX_CHUNKS*CK (~2.1M
+        # slots), but tie the invariant to the encoding itself so a future
+        # gate change cannot silently corrupt ids (ADVICE-r3 #2).
+        assert flat.config.n_tris < 2 ** 24, \
+            "tri_pack stores ids as f32 (exact below 2^24)"
         arrs["tri_pack"] = np.concatenate([
             np.asarray(arrs["tri_fn"], np.float32),
             np.asarray(arrs["tri_mat"], np.float32)[:, None],
@@ -1405,6 +1429,9 @@ def get_device_scene(scene):
                 # winner's id AND hit geometry come from ONE gather
                 # instead of a chained slot->gid->triangle-row pair
                 sids = res["ids"][:, 0, :].reshape(-1).astype(np.int64)
+                # ids ride in f32 rows; see the tri_pack invariant above
+                assert len(sids) < 2 ** 24 and flat.config.n_tris < 2 ** 24, \
+                    "res_slot_pack stores ids as f32 (exact below 2^24)"
                 safe = np.clip(sids, 0, flat.config.n_tris - 1)
                 sp = np.empty((len(sids), d + 2), np.float32)
                 sp[:, :d] = arrs["tri_fn"][safe]

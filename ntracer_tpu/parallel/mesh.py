@@ -279,7 +279,9 @@ def build_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
             o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h,
                                 xs, ys)
             colors = ray_colors(arrs_l, cfg, dyn, o, dirs, pctx=pctx)
-            return packing.pack_device(colors, key)
+            # key=None: wide-channel format — the caller packs raw floats
+            # on the host (wavefront._needs_host_pack)
+            return colors if key is None else packing.pack_device(colors, key)
 
         starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * ts
         out = jax.lax.map(tile, starts)
@@ -317,7 +319,7 @@ def build_packed_box_renderer(scene, mesh: Mesh, width, per_shard, key):
             ys = (idx // width).astype(f32)
             colors = wavefront._box_colors(d, cam_origin, cam_t, fov_params,
                                            xs, ys)
-            return packing.pack_device(colors, key)
+            return colors if key is None else packing.pack_device(colors, key)
 
         starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * ts
         out = jax.lax.map(tile, starts)

@@ -508,30 +508,45 @@ class CallbackRenderer(_RendererBase):
                     self._busy = False
                     self._done.wait()
                 slabs, view, fmt, callback = self._queue.pop(0)
-            ok = False
             try:
-                ok = wavefront.pull_packed(slabs, fmt, view,
-                                           lambda: self._abort)
-            except Exception:
-                # a failed pull (device/link error) must not kill the
-                # persistent worker: later queued frames and abort_render
-                # waiters depend on it (the reference prints worker
-                # exceptions and carries on, render.cpp:538-541)
-                import traceback
-                traceback.print_exc()
+                ok = False
+                try:
+                    ok = wavefront.pull_packed(slabs, fmt, view,
+                                               lambda: self._abort)
+                except Exception:
+                    # a failed pull (device/link error) must not kill the
+                    # persistent worker: later queued frames and
+                    # abort_render waiters depend on it (the reference
+                    # prints worker exceptions and carries on,
+                    # render.cpp:538-541)
+                    import traceback
+                    traceback.print_exc()
+                if ok:
+                    # the callback runs BEFORE the job count drops so
+                    # abort_render's "blocks until idle" contract covers
+                    # callback execution too — a caller tearing down
+                    # callback state right after abort_render must not
+                    # race a still-running callback (ADVICE-r3 #3)
+                    try:
+                        callback(self)
+                    except Exception:
+                        import traceback
+                        traceback.print_exc()
             finally:
                 with self._mut:
                     self._jobs -= 1
                     if not self._jobs:
                         self._done.notify_all()
-            if ok:
-                try:
-                    callback(self)
-                except Exception:
-                    import traceback
-                    traceback.print_exc()
 
     def abort_render(self):
+        if threading.current_thread() is self._worker:
+            # called from inside a callback: the current job's count only
+            # drops after the callback returns, so waiting would deadlock.
+            # Drop the queued (not yet started) jobs and return.
+            with self._mut:
+                self._jobs -= len(self._queue)
+                self._queue.clear()
+            return
         with self._mut:
             if self._jobs:
                 self._abort = True

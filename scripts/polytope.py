@@ -7,7 +7,8 @@ same CLI (positional Schläfli components, --benchmark, --output, --frames,
 benchmark loop, but the geometry construction is a kaleidoscope (Coxeter
 mirror) build: vertices are the orbit of an initial point under the
 reflection group, and the boundary is triangulated into (d-1)-simplices with
-Qhull.  Star polytopes (fractional components) are not supported yet.
+Qhull.  Star polytopes (fractional Schläfli components, e.g. {5/2,5}) are
+built via star_prototypes for d=3 and d=4.
 """
 
 import argparse

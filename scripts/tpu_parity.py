@@ -204,8 +204,14 @@ def main():
         if bad:
             row["bad"] = bad[:5]
         # a real kernel regression shows deltas of tens across many
-        # pixels; tolerate one FUZZ-edge hit flip and a few off-by-ones
-        if len(bad) > 1 or near > max(2, args.samples // 10):
+        # pixels; tolerate one FUZZ-edge hit flip and a FIXED small number
+        # of off-by-ones (committed baseline: <=3 per scene at 48 samples,
+        # all on FP-association corners).  The bound is deliberately
+        # independent of --samples so raising the sample count cannot
+        # loosen the gate (ADVICE-r3 #1: a systematic TPU-only off-by-one
+        # drift — e.g. a consistently dropped K-th transparent surface —
+        # must FAIL here, not scale with the allowance).
+        if len(bad) > 1 or near > 4:
             ok_all = False
         results.append(row)
         print(json.dumps(row), flush=True)

@@ -243,11 +243,27 @@ def test_pack_device_vs_host_bit_widths():
         assert np.array_equal(dev.reshape(64, -1), host), f"{bits}-bit"
 
     # 31-bit channels: quantify (not hide) the float32-scale deviation —
-    # neighbouring codes only
+    # neighbouring codes only (the engine routes these formats to the
+    # exact host packer; pack_device's ≤1-code drift is pinned here so a
+    # regression past "neighbouring codes" fails loudly)
     fmt = ImageFormat(64, 64, [Channel(31, 1, 0, 0), Channel(31, 0, 0, 1)])
     dev = np.asarray(packing.pack_device(colors, packing.format_key(fmt)))
     host = packing.pack_rows(colors.reshape(64, 64, 3), fmt)
     assert dev.reshape(64, -1).shape == host.shape
+
+    def codes(bytes8):
+        w = bytes8.reshape(-1, 8).astype(np.uint64)
+        word = np.zeros(len(w), np.uint64)
+        for j in range(8):
+            word |= w[:, j] << np.uint64(8 * (7 - j))
+        mask = np.uint64((1 << 31) - 1)
+        return (word >> np.uint64(33)) & mask, (word >> np.uint64(2)) & mask
+
+    d0, d1 = codes(dev.reshape(-1))
+    h0, h1 = codes(host.reshape(-1).copy())
+    delta = max(np.abs(d0.astype(np.int64) - h0.astype(np.int64)).max(),
+                np.abs(d1.astype(np.int64) - h1.astype(np.int64)).max())
+    assert delta <= 1, f"wide-channel device packing drifted {delta} codes"
     # float channels are bitcast — always exact
     fmt = ImageFormat(64, 64, [Channel(32, 1, 0, 0, tfloat=True),
                                Channel(32, 0, 1, 0, tfloat=True)])
@@ -448,3 +464,109 @@ def test_callback_renderer_survives_failed_pull(monkeypatch):
     done = threading.Event()
     cr.begin_render(buf, fmt, scene, lambda r: done.set())
     assert done.wait(timeout=120)      # worker survived, frame completed
+
+
+def test_callback_renderer_mutation_after_dispatch_uses_prior_state():
+    """Pins the documented CallbackRenderer lock-window deviation
+    (render.py): the scene is locked only during DISPATCH — all scene
+    state (geometry, camera, config) is captured by the dispatch, so a
+    config mutation right after begin_render returns (which would raise
+    LockedError in the reference, whose workers hold the lock for the
+    whole render) silently succeeds AND frame N still renders with the
+    PRE-mutation state."""
+    import threading
+    from ntracer_tpu.render import (BlockingRenderer, CallbackRenderer,
+                                    ImageFormat, Channel)
+    from ntracer_tpu.wrapper import NTracer as _NT
+
+    nt = _NT(3)
+    scene = _random_scene(nt, n=12, seed=23)
+    w = h = 24
+    fmt = ImageFormat(w, h, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                             Channel(8, 0, 0, 1)])
+
+    scene.set_ambient_color((0.05, 0.05, 0.05))
+    expect = bytearray(fmt.pitch * fmt.height)
+    assert BlockingRenderer().render(expect, fmt, scene)
+
+    cr = CallbackRenderer()
+    buf = bytearray(fmt.pitch * fmt.height)
+    done = threading.Event()
+    cr.begin_render(buf, fmt, scene, lambda r: done.set())
+    # mutation mid-flight: allowed here (deviation), must NOT affect the
+    # already-dispatched frame
+    scene.set_ambient_color((0.9, 0.0, 0.0))
+    assert done.wait(timeout=120)
+    assert bytes(buf) == bytes(expect)
+
+    # and the next frame picks up the new config
+    buf2 = bytearray(fmt.pitch * fmt.height)
+    assert BlockingRenderer().render(buf2, fmt, scene)
+    assert bytes(buf2) != bytes(expect)
+
+
+def test_abort_render_waits_for_callback():
+    """abort_render blocks until idle INCLUDING callback execution
+    (ADVICE-r3 #3): a caller tearing down callback state right after
+    abort_render must not race a still-running callback."""
+    import threading
+    import time as _time
+    from ntracer_tpu.render import CallbackRenderer, ImageFormat, Channel
+    from ntracer_tpu.wrapper import NTracer as _NT
+
+    nt = _NT(3)
+    scene = _random_scene(nt, n=8, seed=29)
+    fmt = ImageFormat(16, 16, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                               Channel(8, 0, 0, 1)])
+    cr = CallbackRenderer()
+    buf = bytearray(fmt.pitch * fmt.height)
+    entered = threading.Event()
+    finished = []
+
+    def slow_cb(r):
+        entered.set()
+        _time.sleep(0.5)
+        finished.append(True)
+
+    cr.begin_render(buf, fmt, scene, slow_cb)
+    assert entered.wait(timeout=120)
+    cr.abort_render()
+    assert finished, "abort_render returned while the callback was running"
+
+
+def test_wide_channel_format_routes_to_exact_host_packer():
+    """>23-bit integer channels route around the float32 device packer
+    (wavefront._needs_host_pack): the rendered bytes must equal the
+    reference's exact 64-bit packing of the engine's float colors, for
+    BOTH renderers (VERDICT-r3 #8b)."""
+    import threading
+    from ntracer_tpu.engine import wavefront, packing
+    from ntracer_tpu.render import (BlockingRenderer, CallbackRenderer,
+                                    ImageFormat, Channel)
+    from ntracer_tpu.wrapper import NTracer as _NT
+
+    nt = _NT(3)
+    scene = _random_scene(nt, n=12, seed=31)
+    w = h = 24
+    fmt = ImageFormat(w, h, [Channel(30, 1, 0, 0), Channel(30, 0, 1, 0),
+                             Channel(4, 0, 0, 1)])
+    assert wavefront._needs_host_pack(fmt)
+
+    scene._set_view_size(w, h)
+    colors = wavefront.render_strip_composite(scene, fmt, 0, h)
+    expect = packing.pack_rows(colors, fmt).tobytes()
+
+    buf = bytearray(fmt.pitch * fmt.height)
+    assert BlockingRenderer().render(buf, fmt, scene)
+    assert bytes(buf) == expect
+
+    buf2 = bytearray(fmt.pitch * fmt.height)
+    done = threading.Event()
+    CallbackRenderer().begin_render(buf2, fmt, scene, lambda r: done.set())
+    assert done.wait(timeout=120)
+    assert bytes(buf2) == expect
+
+    # 8-bit formats keep the device packer (no float round trip)
+    fmt8 = ImageFormat(w, h, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                              Channel(8, 0, 0, 1)])
+    assert not wavefront._needs_host_pack(fmt8)
