@@ -218,11 +218,85 @@ def simulate(scene, pool, W, H, rb_w, rb_h, ck, p_cand=4, quiet=False):
     return out
 
 
+def per_ray_termination(scene, pool, W, H, rb_w, rb_h, ck,
+                        groups=(1, 8, 64, None), quiet=False):
+    """Model TRUE per-group front-to-back termination at several bound
+    granularities (VERDICT-r3 #2: the production kernel's bound is the
+    whole-block max, ``best.max()`` above; this answers what finer bounds
+    would save).
+
+    For group size g, the block's rays are split into R/g groups; each
+    group walks the chunks in ITS OWN emin-sorted order and visits chunk
+    c only while ``emin_g(c) < max_{r in g} best_r`` — i.e. a
+    hypothetical kernel with an independent walk + bound per group
+    (g=1: true per-ray stop-at-first-hit; g=R: the shipped kernel, up to
+    visit-order differing from the shared global sort).  Reports visits
+    and pair work = visits * g * ck per granularity."""
+    p1, fn, en, dc, lo, hi = pool
+    klo, khi, ids = make_bins(pool, ck)
+    nc = len(ids)
+    real = np.linalg.norm(fn, axis=1) > 0
+    b_lo = lo[real].min(0)
+    b_hi = hi[real].max(0)
+
+    o, dirs = tiled_rays(scene, W, H, rb_w, rb_h)
+    R = rb_w * rb_h
+    n_blocks = dirs.shape[0] // R
+    groups = [R if g is None else g for g in groups]
+
+    visits = {g: 0 for g in groups}
+    for b in range(n_blocks):
+        db = dirs[b * R:(b + 1) * R]
+        entry = entry_block(o, db, klo, khi)         # (R, nc), INF on miss
+        best0 = scene_exit(o, db, b_lo, b_hi)        # (R,)
+        # nearest valid t per (ray, chunk), only where the chunk can
+        # matter for that ray (entry < the ray's scene-exit bound)
+        t = np.full((R, nc), INF, f32)
+        for c in range(nc):
+            rows = np.nonzero(entry[:, c] < best0)[0]
+            if rows.size:
+                t[rows, c] = pair_min_t(o, db[rows], p1, fn, en, dc,
+                                        np.asarray(ids[c]))
+        for g in groups:
+            G = R // g
+            eg = entry.reshape(G, g, nc).min(axis=1)          # (G, nc)
+            ordg = np.argsort(eg, axis=1, kind="stable")      # (G, nc)
+            e_s = np.take_along_axis(eg, ordg, 1)             # (G, nc)
+            t_s = np.take_along_axis(
+                t.reshape(G, g, nc), ordg[:, None, :], 2)     # (G, g, nc)
+            best = best0.reshape(G, g).copy()
+            alivev = np.ones(G, bool)
+            for k in range(nc):
+                vis = alivev & (e_s[:, k] < best.max(axis=1))
+                visits[g] += int(vis.sum())
+                upd = np.minimum(best, t_s[:, :, k])
+                best = np.where(vis[:, None], upd, best)
+                # sorted e ascending + non-increasing bound: the first
+                # failed test is permanent, so a failed group is done
+                alivev = vis
+                if not alivev.any():
+                    break
+    out = dict(rb=(rb_w, rb_h), ck=ck, nc=nc, blocks=n_blocks)
+    gmax = max(groups)
+    for g in groups:
+        out[f"visits_g{g}"] = visits[g]
+        out[f"pairs_g{g}"] = visits[g] * g * ck
+    for g in groups:
+        out[f"ratio_g{g}"] = round(out[f"pairs_g{gmax}"]
+                                   / max(out[f"pairs_g{g}"], 1), 2)
+    if not quiet:
+        print(out, flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="120cell")
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--views", type=int, default=2)
+    ap.add_argument("--per-ray", action="store_true",
+                    help="per-ray/per-group termination experiment "
+                         "(VERDICT-r3 #2) instead of the block-bound sweep")
     ap.add_argument("--configs",
                     default="32x16:128,16x8:128,16x8:64,16x16:64,8x8:32,32x16:64,32x16:256")
     args = ap.parse_args()
@@ -241,7 +315,11 @@ def main():
         for cfg_s in args.configs.split(","):
             rb_s, _, ck_s = cfg_s.partition(":")
             rw, _, rh = rb_s.partition("x")
-            simulate(scene, pool, W, H, int(rw), int(rh), int(ck_s))
+            if args.per_ray:
+                per_ray_termination(scene, pool, W, H,
+                                    int(rw), int(rh), int(ck_s))
+            else:
+                simulate(scene, pool, W, H, int(rw), int(rh), int(ck_s))
         # advance camera like the benchmarks do
         a2 = camera.axes[0] * h + camera.axes[1] * h
         for i in range(nt.dimension - 3):
