@@ -127,8 +127,14 @@ def pool_vmem_bytes(n_tris: int, d: int, ck: int = CK) -> int:
     return nc * (_pad8(d * d) * ck + 2 * C_PAD * ck) * 4
 
 
+def payload_width(d):
+    """Lane width of the in-kernel hit payload rows
+    [fn(d), mat, gid, 0-pad] (gid/mat ride as f32, exact below 2^24)."""
+    return _pad8(d + 2)
+
+
 def prepare_resident(tri_p1, tri_fn, tri_en, tri_dc, tri_lo, tri_hi, d,
-                     ck: int = CK):
+                     ck: int = CK, tri_mat=None):
     """Host-side resident layouts (once per scene).
 
     Returns numpy arrays:
@@ -177,11 +183,14 @@ def prepare_resident(tri_p1, tri_fn, tri_en, tri_dc, tri_lo, tri_hi, d,
         b_lo = np.zeros(d, np.float32)
         b_hi = np.zeros(d, np.float32)
     base_order = np.argsort(~nonempty, kind="stable").astype(np.int32)
-    # ids are (nc, 8, ck) with the payload in row 0: a 1-sublane layout
-    # mis-reads under dynamic chunk indexing on real TPUs (sublane-padded
-    # tiles), so keep the leading slice tile-aligned
+    # ids are (nc, 8, ck) with the pool id in row 0 (a 1-sublane layout
+    # mis-reads under dynamic chunk indexing on real TPUs: sublane-padded
+    # tiles, so keep the leading slice tile-aligned) and the material id
+    # in row 1 (read by the in-kernel payload epilogue)
     ids = np.zeros((nc, C_PAD, ck), np.int32)
     ids[:, 0, :] = np.arange(T, dtype=np.int32).reshape(nc, ck)
+    if tri_mat is not None:
+        ids[:, 1, :] = np.asarray(tri_mat, np.int32).reshape(nc, ck)
     return dict(gt=gt, ci=ci, ids=ids, klo=klo, khi=khi, b_lo=b_lo,
                 b_hi=b_hi, n_eff=np.asarray([int(nonempty.sum())], np.int32),
                 base_order=base_order)
@@ -200,7 +209,7 @@ def add_opacity(res, tri_opacity, ck: int = CK):
 
 
 def prepare_resident_cells(treelets, tri_p1, tri_fn, tri_en, tri_dc,
-                           tri_lo, tri_hi, d, ck: int = CK):
+                           tri_lo, tri_hi, d, ck: int = CK, tri_mat=None):
     """Resident layouts from k-d treelets (see flatten.kd_treelets): one
     chunk per treelet, chunk AABB = content box CLIPPED to the treelet's
     disjoint cell, ``ids`` mapping slots back to dedup'd pool ids (a
@@ -227,6 +236,8 @@ def prepare_resident_cells(treelets, tri_p1, tri_fn, tri_en, tri_dc,
         ci[k, 0, :n] = -tri_dc[pids]
         ci[k, 1:d, :n] = eo[pids].T
         ids[k, 0, :n] = pids
+        if tri_mat is not None:
+            ids[k, 1, :n] = np.asarray(tri_mat, np.int32)[pids]
         klo[k] = np.maximum(tri_lo[pids].min(axis=0), cl)
         khi[k] = np.minimum(tri_hi[pids].max(axis=0), ch)
 
@@ -389,11 +400,30 @@ def _chunk_hits_vals(d, ck, shared, g, ci, idrow, o8, d8, skip):
     return t, valid
 
 
-def _nearest_kernel(d, ck, shared, SB, o_ref, dir_ref, skip_ref, init_t_ref,
-                    order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
-                    gt_ref, ci_ref, ids_ref,
-                    out_t_ref, out_id_ref, count_ref,
-                    best_t, best_id):
+def _miss_payload(pw, d):
+    """Payload rows for missed rays: fn=0, mat=0, gid=-1."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, pw), 1)
+    return jnp.where(lane == d + 1, -1.0, 0.0)
+
+
+def _extract_payload(d, ck, pw, g, idr, msk):
+    """One-hot lane reduction of the winning slot's payload row
+    [fn(d), mat, gid, 0-pad] — pure vector ops (no vector->scalar sync),
+    so it rides free in the sync-bound walk.  ``msk`` (RAY_BLOCK, ck)
+    holds exactly one True lane per updated ray."""
+    cols = []
+    for c in range(d):                       # plane 0 = face normal
+        cols.append(jnp.sum(jnp.where(msk, g[c][None, :], 0.0),
+                            axis=1, keepdims=True))
+    for row in (idr[1], idr[0]):             # mat, gid (f32-exact < 2^24)
+        cols.append(jnp.sum(jnp.where(msk, row[None, :].astype(f32), 0.0),
+                            axis=1, keepdims=True))
+    if pw > d + 2:
+        cols.append(jnp.zeros((RAY_BLOCK, pw - d - 2), f32))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _nearest_kernel(d, ck, shared, SB, payload, *refs):
     """Per-ray state lives in VMEM scratch mutated in place; the while
     carry holds only scalars.  (Carrying (RAY_BLOCK, 1) vectors through
     lax.while_loop + lax.cond miscompiled on real TPUs: whole ray blocks
@@ -409,19 +439,33 @@ def _nearest_kernel(d, ck, shared, SB, o_ref, dir_ref, skip_ref, init_t_ref,
 
     ``SB`` independent RAY_BLOCK walks run per grid step: each grid step
     costs ~2.4-3.5 us of fixed overhead (measured with a copy-only
-    kernel), so batching sub-blocks amortizes it."""
+    kernel), so batching sub-blocks amortizes it.
+
+    ``payload``: emit the winner's [fn(d), mat, gid] row from inside the
+    walk (one-hot lane reduction per visit — no extra syncs), replacing
+    the caller's ~8 ms slot-pack HBM gather (VERDICT-r3 #1)."""
+    (o_ref, dir_ref, skip_ref, init_t_ref, order_ref, neff_ref, blive_ref,
+     klo_t_ref, khi_t_ref, gt_ref, ci_ref, ids_ref) = refs[:12]
+    if payload:
+        (out_t_ref, out_id_ref, out_pay_ref, count_ref,
+         best_t, best_id, best_pay) = refs[12:]
+    else:
+        out_t_ref, out_id_ref, count_ref, best_t, best_id = refs[12:]
+        out_pay_ref = best_pay = None
     n_eff = neff_ref[0]
     for sb in range(SB):
         _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref,
                       skip_ref, init_t_ref, order_ref, blive_ref,
                       klo_t_ref, khi_t_ref, gt_ref, ci_ref, ids_ref,
-                      out_t_ref, out_id_ref, count_ref, best_t, best_id)
+                      out_t_ref, out_id_ref, count_ref, best_t, best_id,
+                      out_pay_ref, best_pay)
 
 
 def _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref, skip_ref,
                   init_t_ref, order_ref, blive_ref, klo_t_ref, khi_t_ref,
                   gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
-                  count_ref, best_t, best_id):
+                  count_ref, best_t, best_id, out_pay_ref=None,
+                  best_pay=None):
     sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
 
     # dead ray blocks (every init_t == 0: bounce rays masked inactive,
@@ -432,25 +476,31 @@ def _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref, skip_ref,
     out_t_ref[sl] = init_t_ref[sl]
     out_id_ref[sl] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    if out_pay_ref is not None:
+        out_pay_ref[sl] = _miss_payload(out_pay_ref.shape[1], d)
 
     @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
     def _walk():
         _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref,
                            skip_ref, init_t_ref, order_ref, klo_t_ref,
                            khi_t_ref, gt_ref, ci_ref, ids_ref, out_t_ref,
-                           out_id_ref, count_ref, best_t, best_id)
+                           out_id_ref, count_ref, best_t, best_id,
+                           out_pay_ref, best_pay)
 
 
 def _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref, skip_ref,
                        init_t_ref, order_ref, klo_t_ref, khi_t_ref,
                        gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
-                       count_ref, best_t, best_id):
+                       count_ref, best_t, best_id, out_pay_ref=None,
+                       best_pay=None):
     o8 = o_ref[sl]                # (RAY_BLOCK, 8) zero-padded coords
     d8 = dir_ref[sl]
     skip = skip_ref[sl]
 
     best_t[:] = init_t_ref[sl]
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    if best_pay is not None:
+        best_pay[:] = _miss_payload(best_pay.shape[1], d)
 
     # min-over-rays entry bound for EVERY chunk position, in ORDER space
     emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
@@ -487,12 +537,20 @@ def _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref, skip_ref,
     def chunk_pass(kpos, live):
         """One unconditional chunk visit; ``live`` masks tail slots."""
         idx = order_ref[jnp.minimum(kpos, n_eff - 1)]
-        t, valid = _chunk_hits(d, ck, shared, gt_ref, ci_ref, ids_ref,
-                               idx, o8, d8, skip)
+        g = gt_ref[idx]
+        civ = ci_ref[idx]
+        idr = ids_ref[idx]
+        t, valid = _chunk_hits_vals(d, ck, shared, g, civ, idr[0:1, :],
+                                    o8, d8, skip)
         tm = jnp.where(valid, t, INF)
         ct = jnp.min(tm, axis=1, keepdims=True)
         carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
         upd = (ct < best_t[:]) & live
+        if best_pay is not None:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, ck), 1)
+            pay = _extract_payload(d, ck, best_pay.shape[1], g, idr,
+                                   lane == carg)
+            best_pay[:] = jnp.where(upd, pay, best_pay[:])
         best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
         best_t[:] = jnp.where(upd, ct, best_t[:])
         return live.astype(jnp.int32)
@@ -521,12 +579,14 @@ def _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref, skip_ref,
     visited = st[-1]
     out_t_ref[sl] = best_t[:]
     out_id_ref[sl] = best_id[:]
+    if out_pay_ref is not None:
+        out_pay_ref[sl] = best_pay[:]
     count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d", "raw_slot"))
+@partial(jax.jit, static_argnames=("d", "payload"))
 def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
-                sh=None, raw_slot=False):
+                sh=None, payload=False):
     """Nearest hit over the resident pool.  Returns (t, local_id, visited):
     t=inf / id=-1 for misses; visited = chunks tested per ray block
     (instrumentation).  ``skip`` is a LOCAL pool index (or -1).
@@ -535,7 +595,13 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     default is pool order with no distance bound.  ``active`` masks rays
     out entirely (their blocks exit the walk immediately when compacted
     together).  ``sh`` (from shared_rows_res) enables the bit-exact
-    shared-origin fast path for primary rays."""
+    shared-origin fast path for primary rays.
+
+    ``payload``: also return the winner's hit-geometry rows
+    (R, payload_width(d)) = [fn(d), mat, gid, 0-pad] emitted from inside
+    the kernel — (t, gid, pay, visited) — so the caller needs NO gather
+    at all (the reference goes straight from hit to shade,
+    tracer.hpp:1885-1890; this is the TPU analogue)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
@@ -560,9 +626,31 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     SB = _sub_blocks(ni)
     ni //= SB
     RB = SB * RAY_BLOCK
+    pw = payload_width(d)
 
-    out_t, out_id, counts = pl.pallas_call(
-        partial(_nearest_kernel, d, ck, sh is not None, SB),
+    out_specs = [
+        pl.BlockSpec((RB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+        pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
+    ]
+    if payload:
+        out_specs.append(pl.BlockSpec((RB, pw), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((R, pw), jnp.float32))
+        scratch.append(pltpu.VMEM((RAY_BLOCK, pw), jnp.float32))
+    out_specs.append(pl.BlockSpec((RB, 1), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((R, 1), jnp.int32))
+
+    outs = pl.pallas_call(
+        partial(_nearest_kernel, d, ck, sh is not None, SB, payload),
         grid=(ni,),
         interpret=_interpret(),
         in_specs=[
@@ -588,31 +676,20 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
             pl.BlockSpec((nc, C_PAD, ck), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
-            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, blive,
       klo_t, khi_t, res["gt"], ci, res["ids"])
+    if payload:
+        out_t, _out_id, out_pay, counts = outs
+        # the payload's gid column IS the dedup'd global pool id — no
+        # slot->gid mapping gather needed
+        gid = out_pay[:, d + 1].astype(jnp.int32)
+        return out_t[:, 0], gid, out_pay, counts[::RAY_BLOCK, 0]
+    out_t, out_id, counts = outs
     # kernel returns the winning SLOT; map to the dedup'd global pool id
-    # (raw_slot skips the mapping so the caller can do ONE slot-indexed
-    # gather for id + hit geometry together)
     slot = out_id[:, 0]
-    if raw_slot:
-        return out_t[:, 0], slot, counts[::RAY_BLOCK, 0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
     return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]
@@ -1129,16 +1206,21 @@ def _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref):
 BIG_POS = np.int32(1 << 30)
 
 
-def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
-                        order_ref, dmin_ref, neff_ref, blive_ref,
-                        klo_t_ref, khi_t_ref,
-                        gt_hbm, ci_hbm, ids_hbm,
-                        out_t_ref, out_id_ref,
-                        count_ref, best_t, best_id, gt_buf, ci_buf, ids_buf,
-                        sems):
+def _nearest_hbm_kernel(d, ck, shared, payload, *refs):
+    (o_ref, dir_ref, skip_ref, init_t_ref, order_ref, dmin_ref, neff_ref,
+     blive_ref, klo_t_ref, khi_t_ref, gt_hbm, ci_hbm, ids_hbm) = refs[:13]
+    if payload:
+        (out_t_ref, out_id_ref, out_pay_ref, count_ref, best_t, best_id,
+         best_pay, gt_buf, ci_buf, ids_buf, sems) = refs[13:]
+    else:
+        (out_t_ref, out_id_ref, count_ref, best_t, best_id,
+         gt_buf, ci_buf, ids_buf, sems) = refs[13:]
+        out_pay_ref = best_pay = None
     out_t_ref[:] = init_t_ref[:]
     out_id_ref[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    if out_pay_ref is not None:
+        out_pay_ref[:] = _miss_payload(out_pay_ref.shape[1], d)
 
     @pl.when(blive_ref[pl.program_id(0)] != 0)
     def _walk():
@@ -1146,7 +1228,8 @@ def _nearest_hbm_kernel(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                           init_t_ref, order_ref, dmin_ref, neff_ref,
                           klo_t_ref, khi_t_ref, gt_hbm, ci_hbm, ids_hbm,
                           out_t_ref, out_id_ref, count_ref, best_t,
-                          best_id, gt_buf, ci_buf, ids_buf, sems)
+                          best_id, gt_buf, ci_buf, ids_buf, sems,
+                          out_pay_ref, best_pay)
 
 
 def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
@@ -1154,7 +1237,7 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                       gt_hbm, ci_hbm, ids_hbm,
                       out_t_ref, out_id_ref,
                       count_ref, best_t, best_id, gt_buf, ci_buf, ids_buf,
-                      sems):
+                      sems, out_pay_ref=None, best_pay=None):
     """HBM-pool walk with packed 4-candidate selection and 8-slot deep
     prefetch.  Like the VMEM walk, these loops are bound by per-iteration
     scalar syncs (~3.7 us each; the 100k-triangle mesh bench was flat
@@ -1170,6 +1253,8 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
 
     best_t[:] = init_t_ref[:]
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
+    if best_pay is not None:
+        best_pay[:] = _miss_payload(best_pay.shape[1], d)
     n_eff = neff_ref[0]
 
     emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
@@ -1207,13 +1292,21 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                 _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf,
                           ids_buf, sems, slot)
                 idx = order_ref[kj]
+                g = gt_buf[slot]
+                idr = ids_buf[slot]
                 t, valid = _chunk_hits_vals(
-                    d, ck, shared, gt_buf[slot], ci_buf[slot],
-                    ids_buf[slot][0:1, :], o8, d8, skip)
+                    d, ck, shared, g, ci_buf[slot],
+                    idr[0:1, :], o8, d8, skip)
                 tm = jnp.where(valid, t, INF)
                 ct = jnp.min(tm, axis=1, keepdims=True)
                 carg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None]
                 upd = ct < best_t[:]
+                if best_pay is not None:
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (RAY_BLOCK, ck), 1)
+                    pay = _extract_payload(d, ck, best_pay.shape[1], g,
+                                           idr, lane == carg)
+                    best_pay[:] = jnp.where(upd, pay, best_pay[:])
                 best_id[:] = jnp.where(upd, idx * ck + carg, best_id[:])
                 best_t[:] = jnp.where(upd, ct, best_t[:])
             visited = visited + (kj < SENT).astype(jnp.int32)
@@ -1243,15 +1336,18 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
         (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
     out_t_ref[:] = best_t[:]
     out_id_ref[:] = best_id[:]
+    if out_pay_ref is not None:
+        out_pay_ref[:] = best_pay[:]
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d", "raw_slot"))
+@partial(jax.jit, static_argnames=("d", "payload"))
 def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
-                    active=None, sh=None, raw_slot=False):
+                    active=None, sh=None, payload=False):
     """nearest_hit for pools too large for VMEM residency: the pool stays
     in HBM and visited chunks stream through a double buffer.  ``sh``
-    (shared_rows_res) replaces the streamed ci chunks for primary rays."""
+    (shared_rows_res) replaces the streamed ci chunks for primary rays.
+    ``payload`` as in nearest_hit: returns (t, gid, pay, visited)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
@@ -1273,8 +1369,26 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
 
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
-    out_t, out_id, counts = pl.pallas_call(
-        partial(_nearest_hbm_kernel, d, ck, sh is not None),
+    pw = payload_width(d)
+    out_specs = [blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1))]
+    out_shape = [jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((R, 1), jnp.int32)]
+    scratch = [pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
+               pltpu.VMEM((RAY_BLOCK, 1), jnp.int32)]
+    if payload:
+        out_specs.append(blk((RAY_BLOCK, pw)))
+        out_shape.append(jax.ShapeDtypeStruct((R, pw), jnp.float32))
+        scratch.append(pltpu.VMEM((RAY_BLOCK, pw), jnp.float32))
+    out_specs.append(blk((RAY_BLOCK, 1)))
+    out_shape.append(jax.ShapeDtypeStruct((R, 1), jnp.int32))
+    scratch += [
+        pltpu.VMEM((8, pr, ck), jnp.float32),
+        pltpu.VMEM((8, C_PAD, ck), jnp.float32),
+        pltpu.VMEM((8, C_PAD, ck), jnp.int32),
+        pltpu.SemaphoreType.DMA((8, 3)),
+    ]
+    outs = pl.pallas_call(
+        partial(_nearest_hbm_kernel, d, ck, sh is not None, payload),
         grid=(ni,),
         interpret=_interpret(),
         in_specs=[
@@ -1292,26 +1406,17 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
             pl.BlockSpec(memory_space=pltpu.ANY),       # ci (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),       # ids (HBM)
         ],
-        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
-                   blk((RAY_BLOCK, 1))],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
-            pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
-            pltpu.VMEM((8, pr, ck), jnp.float32),
-            pltpu.VMEM((8, C_PAD, ck), jnp.float32),
-            pltpu.VMEM((8, C_PAD, ck), jnp.int32),
-            pltpu.SemaphoreType.DMA((8, 3)),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff, blive,
       klo_t, khi_t, res["gt"], ci, res["ids"])
+    if payload:
+        out_t, _out_id, out_pay, counts = outs
+        gid = out_pay[:, d + 1].astype(jnp.int32)
+        return out_t[:, 0], gid, out_pay, counts[::RAY_BLOCK, 0]
+    out_t, out_id, counts = outs
     slot = out_id[:, 0]
-    if raw_slot:
-        return out_t[:, 0], slot, counts[::RAY_BLOCK, 0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
     return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]

@@ -297,31 +297,24 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
             sh = pctx["sh_res"]
         else:
             order = dmin = sh = None
-        raw = "res_slot_pack" in arrs
         # no host-side compaction: inactive rays get init_t=0 inside the
         # kernel wrapper and all-dead ray blocks are skipped via
-        # per-block liveness flags (cheaper than permutation gathers)
-        kt, kid, vis = nearest(res_k, o, dirs, skip_local, d,
-                               order=order, dmin=dmin, active=active,
-                               sh=sh, raw_slot=raw)
+        # per-block liveness flags (cheaper than permutation gathers).
+        # The kernel emits the winner's [fn, mat, gid] payload row from
+        # its epilogue, so NO hit-geometry gather runs at all (the
+        # reference goes straight from hit to shade, tracer.hpp:1885-1890)
+        kt, kid, pay, vis = nearest(res_k, o, dirs, skip_local, d,
+                                    order=order, dmin=dmin, active=active,
+                                    sh=sh, payload=True)
         _stat(stats, "rays_traced",
               R if active is None else jnp.sum(active.astype(jnp.int32)))
         _stat(stats, "chunks_visited", jnp.sum(vis))
-        if raw:
-            # ONE gather recovers local id + face normal + material
-            row = arrs["res_slot_pack"][jnp.clip(kid, 0, None)]
-            gidl = row[:, d + 1].astype(jnp.int32)
-            carry = dict(
-                t=jnp.where(kid >= 0, kt, REAL_MAX),
-                pid=jnp.where(kid >= 0, gidl + arrs["tri_base"], -1),
-                fn=row[:, :d],
-                mat=row[:, d].astype(jnp.int32),
-            )
-        else:
-            carry = dict(
-                t=jnp.where(kid >= 0, kt, REAL_MAX),
-                pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
-            )
+        carry = dict(
+            t=jnp.where(kid >= 0, kt, REAL_MAX),
+            pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
+            fn=pay[:, :d],
+            mat=pay[:, d].astype(jnp.int32),
+        )
         return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
 
     if _kernel_ok(arrs, cfg, R):
@@ -1408,7 +1401,7 @@ def get_device_scene(scene):
                     res = rk.prepare_resident_cells(
                         bins, arrs["tri_p1"], arrs["tri_fn"],
                         arrs["tri_en"], arrs["tri_dc"], arrs["cull_lo"],
-                        arrs["cull_hi"], d)
+                        arrs["cull_hi"], d, tri_mat=arrs["tri_mat"])
                 elif bins:
                     # pool beyond the VMEM budget: same walk, but chunks
                     # stream HBM->VMEM through an in-kernel double buffer
@@ -1420,24 +1413,17 @@ def get_device_scene(scene):
                         res = rk.prepare_resident_cells(
                             bins, arrs["tri_p1"], arrs["tri_fn"],
                             arrs["tri_en"], arrs["tri_dc"], arrs["cull_lo"],
-                            arrs["cull_hi"], d, ck=rk.HBM_CK)
+                            arrs["cull_hi"], d, ck=rk.HBM_CK,
+                            tri_mat=arrs["tri_mat"])
                         res_hbm = True
                     # else: > MAX_CHUNKS chunks would overflow the packed
                     # 14-bit candidate encoding; fall back to the XLA scan
             if res is not None:
-                # slot-indexed packed rows [fn(d), mat, local gid]: the
-                # winner's id AND hit geometry come from ONE gather
-                # instead of a chained slot->gid->triangle-row pair
-                sids = res["ids"][:, 0, :].reshape(-1).astype(np.int64)
-                # ids ride in f32 rows; see the tri_pack invariant above
-                assert len(sids) < 2 ** 24 and flat.config.n_tris < 2 ** 24, \
-                    "res_slot_pack stores ids as f32 (exact below 2^24)"
-                safe = np.clip(sids, 0, flat.config.n_tris - 1)
-                sp = np.empty((len(sids), d + 2), np.float32)
-                sp[:, :d] = arrs["tri_fn"][safe]
-                sp[:, d] = np.where(sids >= 0, arrs["tri_mat"][safe], 0)
-                sp[:, d + 1] = np.where(sids >= 0, sids, -1)
-                arrs["res_slot_pack"] = sp
+                # the walk kernels emit gid/mat as f32 payload lanes; tie
+                # the <2^24 exactness invariant here like tri_pack above
+                assert res["ids"][:, 0, :].size < 2 ** 24 \
+                    and flat.config.n_tris < 2 ** 24, \
+                    "kernel payload stores ids as f32 (exact below 2^24)"
                 if flat.config.has_transparency:
                     rk.add_opacity(res, arrs["tri_opacity"],
                                    ck=rk.HBM_CK if res_hbm else rk.CK)

@@ -126,7 +126,7 @@ def _shard_layouts(arrs, cull_lo, cull_hi, cfg, n_prim, per_shard, d):
             bins, np.asarray(arrs["tri_p1"][sl]),
             np.asarray(arrs["tri_fn"][sl]), np.asarray(arrs["tri_en"][sl]),
             np.asarray(arrs["tri_dc"][sl]), cull_lo[sl], cull_hi[sl], d,
-            ck=ck)
+            ck=ck, tri_mat=np.asarray(arrs["tri_mat"][sl]))
         if cfg.has_transparency:
             # both the VMEM and HBM transparent kernels consume the
             # opacity rows (the HBM K-buffer walk streams them per chunk)
