@@ -407,20 +407,22 @@ def _miss_payload(pw, d):
 
 
 def _extract_payload(d, ck, pw, g, idr, msk):
-    """One-hot lane reduction of the winning slot's payload row
-    [fn(d), mat, gid, 0-pad] — pure vector ops (no vector->scalar sync),
-    so it rides free in the sync-bound walk.  ``msk`` (RAY_BLOCK, ck)
-    holds exactly one True lane per updated ray."""
-    cols = []
-    for c in range(d):                       # plane 0 = face normal
-        cols.append(jnp.sum(jnp.where(msk, g[c][None, :], 0.0),
-                            axis=1, keepdims=True))
-    for row in (idr[1], idr[0]):             # mat, gid (f32-exact < 2^24)
-        cols.append(jnp.sum(jnp.where(msk, row[None, :].astype(f32), 0.0),
-                            axis=1, keepdims=True))
+    """One-hot extraction of the winning slot's payload row
+    [fn(d), mat, gid, 0-pad] as a single (RAY_BLOCK, ck) @ (ck, pw)
+    matmul — no vector->scalar sync, and ONE temporary instead of d+2
+    masked reductions (the reduction form overflowed Mosaic's 16 MB
+    scoped-vmem stack at d=4).  ``msk`` (RAY_BLOCK, ck) holds exactly one
+    True lane per updated ray, so every output element sums exactly one
+    product x*1.0 plus zeros — bit-exact at Precision.HIGHEST (f32
+    passes; DEFAULT's bf16 input rounding would corrupt fn/gid)."""
+    cols = [g[c][:, None] for c in range(d)]          # face-normal rows
+    cols += [idr[1].astype(f32)[:, None],             # mat (f32-exact)
+             idr[0].astype(f32)[:, None]]             # gid (f32-exact)
     if pw > d + 2:
-        cols.append(jnp.zeros((RAY_BLOCK, pw - d - 2), f32))
-    return jnp.concatenate(cols, axis=1)
+        cols.append(jnp.zeros((ck, pw - d - 2), f32))
+    pmat = jnp.concatenate(cols, axis=1)              # (ck, pw)
+    return jax.lax.dot(msk.astype(f32), pmat,
+                       precision=jax.lax.Precision.HIGHEST)
 
 
 def _nearest_kernel(d, ck, shared, SB, payload, *refs):
@@ -1206,7 +1208,7 @@ def _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref):
 BIG_POS = np.int32(1 << 30)
 
 
-def _nearest_hbm_kernel(d, ck, shared, payload, *refs):
+def _nearest_hbm_kernel(d, ck, shared, payload, probe, *refs):
     (o_ref, dir_ref, skip_ref, init_t_ref, order_ref, dmin_ref, neff_ref,
      blive_ref, klo_t_ref, khi_t_ref, gt_hbm, ci_hbm, ids_hbm) = refs[:13]
     if payload:
@@ -1229,7 +1231,7 @@ def _nearest_hbm_kernel(d, ck, shared, payload, *refs):
                           klo_t_ref, khi_t_ref, gt_hbm, ci_hbm, ids_hbm,
                           out_t_ref, out_id_ref, count_ref, best_t,
                           best_id, gt_buf, ci_buf, ids_buf, sems,
-                          out_pay_ref, best_pay)
+                          out_pay_ref, best_pay, probe)
 
 
 def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
@@ -1237,7 +1239,7 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                       gt_hbm, ci_hbm, ids_hbm,
                       out_t_ref, out_id_ref,
                       count_ref, best_t, best_id, gt_buf, ci_buf, ids_buf,
-                      sems, out_pay_ref=None, best_pay=None):
+                      sems, out_pay_ref=None, best_pay=None, probe=False):
     """HBM-pool walk with packed 4-candidate selection and 8-slot deep
     prefetch.  Like the VMEM walk, these loops are bound by per-iteration
     scalar syncs (~3.7 us each; the 100k-triangle mesh bench was flat
@@ -1291,6 +1293,17 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                 slot = base + j
                 _hbm_wait(gt_hbm, ci_hbm, ids_hbm, gt_buf, ci_buf,
                           ids_buf, sems, slot)
+                if probe:
+                    # bound-analysis mode (scripts/hbm_bound.py): identical
+                    # candidate scan, fetch schedule, and DMA waits, but
+                    # the pair test is replaced by a minimal buffer touch
+                    # (value-wise a no-op on best_t: min with +huge; not
+                    # constant-foldable since the operand is runtime data).
+                    # Measures the walk's fetch+sync floor per visit.
+                    touch = jnp.max(jnp.abs(gt_buf[slot][0:1, :]),
+                                    axis=1, keepdims=True) + BIG
+                    best_t[:] = jnp.minimum(best_t[:], touch)
+                    return
                 idx = order_ref[kj]
                 g = gt_buf[slot]
                 idr = ids_buf[slot]
@@ -1341,13 +1354,17 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d", "payload"))
+@partial(jax.jit, static_argnames=("d", "payload", "probe"))
 def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
-                    active=None, sh=None, payload=False):
+                    active=None, sh=None, payload=False, probe=False):
     """nearest_hit for pools too large for VMEM residency: the pool stays
     in HBM and visited chunks stream through a double buffer.  ``sh``
     (shared_rows_res) replaces the streamed ci chunks for primary rays.
-    ``payload`` as in nearest_hit: returns (t, gid, pay, visited)."""
+    ``payload`` as in nearest_hit: returns (t, gid, pay, visited).
+    ``probe`` replaces the pair test with a buffer touch (identical
+    fetch/sync schedule, no compute, bound never tightens) — the
+    fetch-bound-vs-pair-bound decomposition for scripts/hbm_bound.py;
+    outputs are meaningless except the visit counter."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
@@ -1388,7 +1405,7 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
         pltpu.SemaphoreType.DMA((8, 3)),
     ]
     outs = pl.pallas_call(
-        partial(_nearest_hbm_kernel, d, ck, sh is not None, payload),
+        partial(_nearest_hbm_kernel, d, ck, sh is not None, payload, probe),
         grid=(ni,),
         interpret=_interpret(),
         in_specs=[
