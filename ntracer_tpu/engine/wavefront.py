@@ -896,6 +896,20 @@ def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False,
     max_bounces = cfg.max_reflect_depth if cfg.has_reflectivity else 0
 
     for depth in range(max_bounces + 1):
+        if stats is not None and depth > 0:
+            # bounce-occupancy instrumentation (VERDICT-r3 #5): live rays
+            # vs live RAY_BLOCKs at this depth.  A block with even one
+            # live ray pays the full walk, so low rays/block would argue
+            # for compacting continuations across blocks before
+            # re-dispatch; clustered live rays argue the per-block
+            # liveness flags already capture the savings.
+            from . import resident_kernels as _rk
+            rb = min(_rk.RAY_BLOCK, R)
+            a32 = active.astype(jnp.int32)
+            _stat(stats, f"bounce_live_rays_d{depth}", jnp.sum(a32))
+            blk = jnp.max(a32.reshape(R // rb, rb), axis=1) if R % rb == 0 \
+                else jnp.ones((1,), jnp.int32)
+            _stat(stats, f"bounce_live_blocks_d{depth}", jnp.sum(blk))
         res = trace_pool(arrs, cfg, o, dirs, skip,
                          shared_origin=o[0] if depth == 0 else None,
                          active=None if depth == 0 else active,
