@@ -6,12 +6,15 @@ channel, ``clamp(f_r*r + f_g*g + f_b*b + f_c, 0, 1)`` is scaled to
 ``tfloat``, then channels pack MSB-first into ``bytes_per_pixel`` bytes;
 ``reversed`` flips the byte order.
 
-Two implementations with identical bitstreams:
+Three implementations with identical bitstreams:
 
-  * ``pack_device`` — jnp/uint32, runs on TPU so only packed bytes cross
-    the (slow) host link.  Deviation: the bit-scale multiply is float32, so
-    channels wider than 24 bits can round differently from the reference's
-    double math.
+  * ``pack_device_stream`` — jnp/uint32 returning a dense uint32 stream
+    (the production frame path; stays in u32 lanes end-to-end).
+  * ``pack_device`` — jnp/uint32 returning (R, bpp) uint8 (mesh path and
+    tests).  Deviation shared with the stream variant: the bit-scale
+    multiply is float32, so channels wider than 23 bits can round
+    differently from the reference's double math (the engine routes such
+    formats to the host packer, wavefront._needs_host_pack).
   * ``pack_rows``   — NumPy/uint64 host fallback, bit-exact with the
     reference for all widths.
 """
@@ -34,12 +37,11 @@ def format_key(fmt: ImageFormat):
             fmt.bytes_per_pixel, bool(fmt.reversed))
 
 
-@partial(jax.jit, static_argnames=("key",))
-def pack_device(colors, key):
-    """Device-side packing: (R, 3) float32 -> (R, bpp) uint8.
-
-    Built from uint32 words (the TPU has no 64-bit integers by default);
-    the MSB-first byte stream equals the reference's 64-bit-word layout."""
+def _pack_words(colors, key):
+    """Shared channel math: (R, 3) float32 -> list of (R,) uint32 words
+    holding each pixel's packed bits MSB-first (the TPU has no 64-bit
+    integers by default; the MSB-first byte stream across words equals
+    the reference's 64-bit-word layout, render.cpp:419-462)."""
     channels, bpp, reverse = key
     r, g, b = colors[:, 0], colors[:, 1], colors[:, 2]
     n_words = (bpp + 3) // 4
@@ -52,23 +54,17 @@ def pack_device(colors, key):
         if tfloat:
             ival = jax.lax.bitcast_convert_type(val, jnp.uint32)
         else:
-            scale = np.float32(0xFFFFFFFF >> (32 - bit_size))
-            p = val * scale
             if bit_size <= 23:
-                # exact lround(double(val) * scale): recover the f32
-                # multiply's rounding error with a Dekker two-product
-                # (no FMA on this path) and nudge ties across the
-                # boundary.  q = p + 0.5 and its floor are exact because
-                # p < 2^23.
-                split = np.float32((1 << 12) + 1)
-                ca = split * val
-                vhi = ca - (ca - val)
-                vlo = val - vhi
-                cb = split * scale
-                shi = cb - (cb - scale)
-                slo = scale - shi
-                err = (((vhi * shi - p) + vhi * slo + vlo * shi)
-                       + vlo * slo)
+                # exact lround(double(val) * scale), scale = 2^b - 1:
+                # val * 2^b is exact (exponent shift), so
+                # p = fl(val*2^b - val) == fl(val * scale) and the
+                # subtraction's error is recovered exactly by a Fast2Sum
+                # (valid since val*2^b >= val >= 0) — bit-identical to a
+                # Dekker two-product of val*scale at a third of the ops.
+                # q = p + 0.5 and its floor are exact because p < 2^23.
+                p_hi = val * np.float32(1 << bit_size)
+                p = p_hi - val
+                err = (p_hi - p) - val
                 q = p + np.float32(0.5)
                 i0 = jnp.floor(q)
                 frac = (q - i0) + err
@@ -79,7 +75,8 @@ def pack_device(colors, key):
                 # >23-bit channels: the scale product exceeds the float32
                 # significand; documented deviation vs the reference's
                 # double math (neighbouring codes only)
-                ival = jnp.floor(p + 0.5).astype(jnp.uint32)
+                scale = np.float32(0xFFFFFFFF >> (32 - bit_size))
+                ival = jnp.floor(val * scale + 0.5).astype(jnp.uint32)
         o = off // 32
         rm = off % 32
         s = 32 - rm - bit_size
@@ -90,10 +87,45 @@ def pack_device(colors, key):
         if rm + bit_size > 32:
             words[o + 1] = words[o + 1] | (ival << np.uint32(64 - rm - bit_size))
         off += bit_size
+    return words
 
+
+@partial(jax.jit, static_argnames=("key",))
+def pack_device(colors, key):
+    """Device-side packing: (R, 3) float32 -> (R, bpp) uint8."""
+    channels, bpp, reverse = key
+    words = _pack_words(colors, key)
     byte_order = range(bpp - 1, -1, -1) if reverse else range(bpp)
     out = [((words[j // 4] >> np.uint32(8 * (3 - (j % 4)))) & np.uint32(0xFF))
            .astype(jnp.uint8) for j in byte_order]
+    return jnp.stack(out, axis=1)
+
+
+@partial(jax.jit, static_argnames=("key",))
+def pack_device_stream(colors, key):
+    """Device-side packing to a dense uint32 stream: (R, 3) float32 ->
+    (R//4, bpp) uint32 whose little-endian byte stream is identical to
+    ``pack_device``'s (R, bpp) uint8 output (groups of 4 pixels = bpp
+    words).  Staying in uint32 lanes skips pack_device's per-byte uint8
+    extract + stack relayout, which costs ~2.5 ms on a 1M-pixel frame
+    (byte ops are lane-hostile on the VPU).  Requires R % 4 == 0."""
+    channels, bpp, reverse = key
+    R = colors.shape[0]
+    assert R % 4 == 0, "pack_device_stream needs a multiple of 4 pixels"
+    words = _pack_words(colors, key)
+    wr = [w.reshape(-1, 4) for w in words]  # (R//4, 4 px per group)
+    byte_order = list(range(bpp - 1, -1, -1) if reverse else range(bpp))
+    out = []
+    for w_idx in range(bpp):            # output u32 word within the group
+        acc = jnp.zeros(R // 4, jnp.uint32)
+        for k in range(4):              # little-endian byte k of the word
+            i = 4 * w_idx + k           # byte index within the group
+            p, jj = divmod(i, bpp)      # pixel in group, byte in pixel
+            j = byte_order[jj]
+            byt = (wr[j // 4][:, p] >> np.uint32(8 * (3 - (j % 4)))) \
+                & np.uint32(0xFF)
+            acc = acc | (byt << np.uint32(8 * k))
+        out.append(acc)
     return jnp.stack(out, axis=1)
 
 

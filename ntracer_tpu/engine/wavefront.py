@@ -1061,15 +1061,18 @@ def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
         if swz is not None:
             colors = swz(colors)
         # key=None: wide-channel format — ship raw floats; pull_packed
-        # packs them on the host with exact 64-bit math
-        return colors if key is None else packing.pack_device(colors, key)
+        # packs them on the host with exact 64-bit math.  Otherwise pack
+        # to a dense uint32 stream (the host views it as bytes) — same
+        # bitstream as pack_device without the u8 relayout.
+        return colors if key is None else packing.pack_device_stream(
+            colors, key)
 
     n_groups = n_tiles // group_tiles
     if n_groups == 1:
         return group(base)
     starts = base + jnp.arange(n_groups, dtype=jnp.int32) * count
     out = jax.lax.map(group, starts)
-    return out.reshape(n_tiles * TILE, -1)
+    return out.reshape(-1, out.shape[-1])
 
 
 @partial(jax.jit, static_argnames=("d", "w", "n_tiles", "key"))
@@ -1086,14 +1089,15 @@ def _frame_packed_box(d, cam_origin, cam_t, fov_params, base, w, n_tiles,
         colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
         if swz is not None:
             colors = swz(colors)
-        return colors if key is None else packing.pack_device(colors, key)
+        return colors if key is None else packing.pack_device_stream(
+            colors, key)
 
     n_groups = n_tiles // group_tiles
     if n_groups == 1:
         return group(base)
     starts = base + jnp.arange(n_groups, dtype=jnp.int32) * count
     out = jax.lax.map(group, starts)
-    return out.reshape(n_tiles * TILE, -1)
+    return out.reshape(-1, out.shape[-1])
 
 
 @partial(jax.jit, static_argnames=("cfg", "w", "n_tiles"))
@@ -1243,7 +1247,13 @@ def pull_packed(slabs, fmt, view, abort_check) -> bool:
         if abort_check():
             return False
         data = np.asarray(dev)  # D2H; later slabs still computing
-        if data.dtype != np.uint8:
+        if data.dtype == np.uint32:
+            # dense packed stream (pack_device_stream): each row is 4
+            # pixels' bytes as bpp little-endian uint32 words (XLA may
+            # deliver the words column-major; relayout is a host memcpy)
+            data = np.ascontiguousarray(data).view(np.uint8).reshape(
+                -1, fmt.bytes_per_pixel)
+        elif data.dtype != np.uint8:
             # wide-channel format: the dispatch shipped raw floats
             # (_needs_host_pack); pack bit-exactly here
             data = packing.pack_flat(data, fmt)

@@ -272,6 +272,12 @@ def test_pack_device_vs_host_bit_widths():
             colors, packing.format_key(fmt)))
         host = packing.pack_rows(colors.reshape(64, 64, 3), fmt)
         assert np.array_equal(dev.reshape(64, -1), host), f"{bits}-bit"
+        # the production frame path packs to a dense uint32 stream whose
+        # byte stream must be identical (groups of 4 pixels = bpp words)
+        stream = np.ascontiguousarray(np.asarray(packing.pack_device_stream(
+            colors, packing.format_key(fmt))))
+        assert stream.view(np.uint8).tobytes() == dev.tobytes(), \
+            f"{bits}-bit stream"
 
     # 31-bit channels: quantify (not hide) the float32-scale deviation —
     # neighbouring codes only (the engine routes these formats to the
