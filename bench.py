@@ -164,6 +164,49 @@ def main():
     # per-stage counters, one frame (instrumentation.hpp analogue)
     counters = wavefront.frame_stats(scene, W, H)
 
+    # trace vs non-trace split, same window (VERDICT-r3 #1 breakdown):
+    # time the walk kernel alone on the full primary wavefront, compare
+    # with the full frame.  Both min-of-rounds, interleaved with the
+    # frame measurement above so the numbers share the window.
+    from ntracer_tpu.engine import resident_kernels as rk
+    cfg, device, _flat = wavefront.get_device_scene(scene)
+    trace_ms = None
+    frame_fixed_ms = None
+    if "res_gt" in device:
+        res = wavefront._res_dict(device)
+        scene._set_view_size(W, H)
+        fovp = wavefront._fov_params(W, H, scene.fov)
+        xs, ys, _swz = wavefront._ray_coords(jnp.int32(0), W, count=W * H)
+        o, dirs = wavefront.make_rays(
+            jnp.asarray(scene._cam._origin), jnp.asarray(scene._cam._t),
+            fovp[0], fovp[1], fovp[2], xs, ys)
+        skip = jnp.full((W * H,), -1, jnp.int32)
+        pctx = wavefront.primary_ctx(device, cfg, o[0])
+        nearest = rk.nearest_hit_hbm if "res_is_hbm" in device \
+            else rk.nearest_hit
+
+        import jax
+
+        @jax.jit
+        def trace_only():
+            t, gid, pay, vis = nearest(
+                res, o, dirs, skip, cfg.d, payload=True,
+                order=pctx["order"], dmin=pctx["dmin"], sh=pctx["sh_res"])
+            return t
+
+        sync(trace_only())  # compile
+        trace_ms = float("inf")
+        frame_fixed_ms = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            sync(trace_only())
+            trace_ms = min(trace_ms, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sync(wavefront.frame_device_arrays(scene, fmt))
+            frame_fixed_ms = min(frame_fixed_ms, time.perf_counter() - t0)
+        trace_ms = round(trace_ms * 1000, 2)
+        frame_fixed_ms = round(frame_fixed_ms * 1000, 2)
+
     print(json.dumps({
         "metric": "120-cell 4D @1024^2 primary rays",
         # headline = what the chip does (the e2e number is bound by the
@@ -183,6 +226,14 @@ def main():
         "on_device_mrays": round((W * H) / dev_sec / 1e6, 3),
         "tpu_parity_mismatches": parity_mism,
         "tpu_parity_ok": parity_ok,
+        # trace vs non-trace split at a fixed view, same window (the walk
+        # kernel alone vs the full packed frame, both min-of-rounds
+        # interleaved); None when the scene uses the XLA-scan fallback
+        "trace_ms": trace_ms,
+        "frame_fixed_view_ms": frame_fixed_ms if trace_ms is not None
+        else None,
+        "non_trace_ms": round(frame_fixed_ms - trace_ms, 2)
+        if trace_ms is not None else None,
         "counters": counters,
     }))
 

@@ -61,9 +61,35 @@ ROUNDING_FUZZ = np.float32(np.finfo(np.float32).eps * 10)
 INF = np.float32(np.inf)
 BIG = np.float32(3e37)
 
+def _env_bytes(name, default):
+    import os
+    v = os.environ.get(name)
+    if not v:
+        return default
+    try:
+        return int(float(v) * 1024 * 1024)  # value in MiB
+    except ValueError:
+        import warnings
+        warnings.warn(f"{name}={v!r} is not a number (MiB); ignoring")
+        return default
+
+
+# Mosaic scoped-vmem limit for the walk kernels (None = Mosaic's ~16 MiB
+# default).  v5e has 128 MiB of VMEM per core; raising the limit admits
+# larger resident pools and more sub-blocks per grid step.  Override (in
+# MiB) with NTRACER_VMEM_LIMIT for hardware sweeps.
+VMEM_LIMIT_BYTES = _env_bytes("NTRACER_VMEM_LIMIT", None)
+
 # VMEM budget for the resident pool (bytes); leaves room for the
-# (RAY_BLOCK, CK) slabs and Mosaic's working set out of ~16 MB.
-POOL_VMEM_BUDGET = 8 * 1024 * 1024
+# (RAY_BLOCK, CK) slabs and Mosaic's working set out of the scoped-vmem
+# limit.  Override (in MiB) with NTRACER_POOL_VMEM.
+POOL_VMEM_BUDGET = _env_bytes("NTRACER_POOL_VMEM", 8 * 1024 * 1024)
+
+
+def _cparams():
+    """Shared Pallas compiler params for every walk kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 # The packed candidate walks encode chunk positions in 14 bits; pools with
 # more chunks than this must not use them (callers fall back to the
@@ -92,7 +118,12 @@ def _sub_blocks(ni):
     hardware sweeps."""
     import os
     per_walk = max(1, int(3.5e6 * RAY_BLOCK / 512))
-    sb_max = max(1, min(8, (10 * 1024 * 1024) // per_walk))
+    # stack budget = scoped-vmem limit minus room for the pool layouts and
+    # ray slabs (the default ~16 MiB limit leaves ~10 MiB of stack —
+    # preserves the measured SB=2 default at RAY_BLOCK=512)
+    limit = VMEM_LIMIT_BYTES or 16 * 1024 * 1024
+    stack_budget = limit - 6 * 1024 * 1024
+    sb_max = max(1, min(8, stack_budget // per_walk))
     env = os.environ.get("NTRACER_SB")
     if env:
         # hardware-sweep override: clamp to the VMEM-budget maximum (a
@@ -655,6 +686,7 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
         partial(_nearest_kernel, d, ck, sh is not None, SB, payload),
         grid=(ni,),
         interpret=_interpret(),
+        compiler_params=_cparams(),
         in_specs=[
             pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -769,6 +801,7 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
         partial(_occlusion_kernel, d, ck),
         grid=(ni,),
         interpret=_interpret(),
+        compiler_params=_cparams(),
         in_specs=[
             pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -947,6 +980,7 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
         partial(_nearest_t_kernel, d, ck, K, sh is not None),
         grid=(ni,),
         interpret=_interpret(),
+        compiler_params=_cparams(),
         in_specs=[
             blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
@@ -1088,6 +1122,7 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
         partial(_occl_t_kernel, d, ck),
         grid=(ni,),
         interpret=_interpret(),
+        compiler_params=_cparams(),
         in_specs=[
             blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
@@ -1408,6 +1443,7 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
         partial(_nearest_hbm_kernel, d, ck, sh is not None, payload, probe),
         grid=(ni,),
         interpret=_interpret(),
+        compiler_params=_cparams(),
         in_specs=[
             blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
@@ -1563,6 +1599,7 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
         partial(_occl_hbm_kernel, d, ck),
         grid=(ni,),
         interpret=_interpret(),
+        compiler_params=_cparams(),
         in_specs=[
             blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
@@ -1775,6 +1812,7 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
         partial(_nearest_t_hbm_kernel, d, ck, K, sh is not None),
         grid=(ni,),
         interpret=_interpret(),
+        compiler_params=_cparams(),
         in_specs=[
             blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
@@ -1960,6 +1998,7 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
         partial(_occl_t_hbm_kernel, d, ck),
         grid=(ni,),
         interpret=_interpret(),
+        compiler_params=_cparams(),
         in_specs=[
             blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
