@@ -83,13 +83,39 @@ VMEM_LIMIT_BYTES = _env_bytes("NTRACER_VMEM_LIMIT", None)
 # VMEM budget for the resident pool (bytes); leaves room for the
 # (RAY_BLOCK, CK) slabs and Mosaic's working set out of the scoped-vmem
 # limit.  Override (in MiB) with NTRACER_POOL_VMEM.
-POOL_VMEM_BUDGET = _env_bytes("NTRACER_POOL_VMEM", 8 * 1024 * 1024)
+#
+# Default 48 MiB (round 4): v5e has 128 MiB VMEM/core and a resident pool
+# only has to share it with the walk stack (~7 MiB at SB=2) and ray slabs.
+# The 100k-tri mesh (12.8 MiB pool) measured 1.68x faster resident than
+# HBM-streaming (253 vs 425 ms trace, same window — scripts/
+# mesh_resident_ab.py); the old 8 MiB budget was an artifact of Mosaic's
+# ~16 MiB default scoped-vmem limit, which _cparams now raises to fit the
+# actual layouts.
+POOL_VMEM_BUDGET = _env_bytes("NTRACER_POOL_VMEM", 48 * 1024 * 1024)
 
 
-def _cparams():
-    """Shared Pallas compiler params for every walk kernel."""
+def _cparams(pool_bytes=0):
+    """Shared Pallas compiler params for every walk kernel.
+
+    ``pool_bytes`` is the VMEM-resident pool footprint the call ships
+    (``_pool_bytes``).  Small pools keep Mosaic's ~16 MiB default limit
+    (byte-identical to rounds 1-3); larger ones get a limit derived from
+    the actual layout plus room for the walk stack and ray slabs.  An
+    explicit NTRACER_VMEM_LIMIT always wins (hardware sweeps)."""
     from jax.experimental.pallas import tpu as pltpu
-    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+    limit = VMEM_LIMIT_BYTES
+    if limit is None and pool_bytes > 8 * 1024 * 1024:
+        limit = min(pool_bytes + 24 * 1024 * 1024, 110 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
+def _pool_bytes(res):
+    """Bytes of the resident pool layouts (gt/ci/ids and, for transparent
+    pools, opa) a walk invocation ships to VMEM."""
+    n = res["gt"].size + res["ci"].size + res["ids"].size
+    if "opa" in res:
+        n += res["opa"].size
+    return n * 4
 
 # The packed candidate walks encode chunk positions in 14 bits; pools with
 # more chunks than this must not use them (callers fall back to the
@@ -232,7 +258,6 @@ def add_opacity(res, tri_opacity, ck: int = CK):
     slots get opacity 1 (their zero face normal already kills hits)."""
     ids = res["ids"][:, 0, :]
     safe = np.clip(ids, 0, len(tri_opacity) - 1)
-    opa = np.ones_like(res["ci"][:, :1, :])
     opa = np.ones((ids.shape[0], C_PAD, ck), np.float32)
     opa[:, 0, :] = np.where(ids >= 0, tri_opacity[safe], 1.0)
     res["opa"] = opa
@@ -686,7 +711,7 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
         partial(_nearest_kernel, d, ck, sh is not None, SB, payload),
         grid=(ni,),
         interpret=_interpret(),
-        compiler_params=_cparams(),
+        compiler_params=_cparams(_pool_bytes(res)),
         in_specs=[
             pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -801,7 +826,7 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
         partial(_occlusion_kernel, d, ck),
         grid=(ni,),
         interpret=_interpret(),
-        compiler_params=_cparams(),
+        compiler_params=_cparams(_pool_bytes(res)),
         in_specs=[
             pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -980,7 +1005,7 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
         partial(_nearest_t_kernel, d, ck, K, sh is not None),
         grid=(ni,),
         interpret=_interpret(),
-        compiler_params=_cparams(),
+        compiler_params=_cparams(_pool_bytes(res)),
         in_specs=[
             blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
@@ -1122,7 +1147,7 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
         partial(_occl_t_kernel, d, ck),
         grid=(ni,),
         interpret=_interpret(),
-        compiler_params=_cparams(),
+        compiler_params=_cparams(_pool_bytes(res)),
         in_specs=[
             blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
             blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),

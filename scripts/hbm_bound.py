@@ -53,6 +53,11 @@ def main():
     from ntracer_tpu.engine import wavefront
     from ntracer_tpu.engine import resident_kernels as rk
 
+    # Round 4 made the 100k mesh VMEM-resident by default (48 MiB pool
+    # budget); this probe bounds the HBM *streaming* walk, the path pools
+    # >48 MiB (~370k+ tris) still take — force its layout regardless.
+    rk.POOL_VMEM_BUDGET = min(rk.POOL_VMEM_BUDGET, 1 << 20)
+
     nt = NTracer(3)
     mat = Material((1, 0.6, 0.4))
     tris = sphere_mesh(args.tris)

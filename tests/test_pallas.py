@@ -475,3 +475,30 @@ def test_oversized_pool_refuses_packed_walks(monkeypatch):
     scene = nt.build_composite_scene(protos)
     cfg, device, _ = wavefront.get_device_scene(scene)
     assert "res_gt" not in device  # fell back to the XLA scan
+
+
+def test_resident_pool_budget_policy():
+    """Round-4 residency policy: pools up to POOL_VMEM_BUDGET (48 MiB
+    default; the 100k mesh's ~12 MiB measured 1.68x faster resident than
+    HBM-streamed, scripts/mesh_resident_ab.py) stay VMEM-resident, and
+    _cparams derives a Mosaic scoped-vmem limit from the actual layout
+    instead of the ~16 MiB default."""
+    assert rk.POOL_VMEM_BUDGET == 48 * 1024 * 1024
+    # the 100k-tri d=3 pool is now under budget (was over the old 8 MiB)
+    assert rk.pool_vmem_bytes(100000, 3) <= rk.POOL_VMEM_BUDGET
+
+    # small pools keep Mosaic's default limit (byte-identical to r1-3)
+    assert rk._cparams(4 * 2**20).vmem_limit_bytes in (None,
+                                                       rk.VMEM_LIMIT_BYTES)
+    # large pools get layout + stack/slab headroom, capped below VMEM
+    got = rk._cparams(13 * 2**20).vmem_limit_bytes
+    assert got == 37 * 2**20
+    assert rk._cparams(200 * 2**20).vmem_limit_bytes == 110 * 2**20
+
+    # _pool_bytes counts exactly what the kernels ship to VMEM
+    res = {"gt": np.zeros((4, 16, 128), np.float32),
+           "ci": np.zeros((4, 8, 128), np.float32),
+           "ids": np.zeros((4, 8, 128), np.float32)}
+    assert rk._pool_bytes(res) == (4 * 16 * 128 + 2 * 4 * 8 * 128) * 4
+    res["opa"] = np.zeros((4, 8, 128), np.float32)
+    assert rk._pool_bytes(res) == (4 * 16 * 128 + 3 * 4 * 8 * 128) * 4
