@@ -189,10 +189,12 @@ def main():
 
         @jax.jit
         def trace_only():
-            t, gid, pay, vis = nearest(
-                res, o, dirs, skip, cfg.d, payload=True,
+            # pure walk (production path: raw slot; the 3.2 ms slot-pack
+            # recovery gather is counted in non_trace — stage_split.py)
+            t, slot, vis = nearest(
+                res, o, dirs, skip, cfg.d, raw_slot=True,
                 order=pctx["order"], dmin=pctx["dmin"], sh=pctx["sh_res"])
-            return t
+            return t + slot
 
         sync(trace_only())  # compile
         trace_ms = float("inf")

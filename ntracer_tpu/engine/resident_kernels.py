@@ -642,9 +642,9 @@ def _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref, skip_ref,
     count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d", "payload"))
+@partial(jax.jit, static_argnames=("d", "payload", "raw_slot"))
 def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
-                sh=None, payload=False):
+                sh=None, payload=False, raw_slot=False):
     """Nearest hit over the resident pool.  Returns (t, local_id, visited):
     t=inf / id=-1 for misses; visited = chunks tested per ray block
     (instrumentation).  ``skip`` is a LOCAL pool index (or -1).
@@ -658,8 +658,15 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     ``payload``: also return the winner's hit-geometry rows
     (R, payload_width(d)) = [fn(d), mat, gid, 0-pad] emitted from inside
     the kernel — (t, gid, pay, visited) — so the caller needs NO gather
-    at all (the reference goes straight from hit to shade,
-    tracer.hpp:1885-1890; this is the TPU analogue)."""
+    at all.  MEASURED SLOWER for the frame path than ``raw_slot`` + one
+    slot_pack gather (the one-hot extraction runs per chunk visit:
+    +11.7 ms/frame vs the gather's ~6.5 on the 120-cell, stage_split.py);
+    kept for callers without a packed-row table and for sweeps.
+
+    ``raw_slot``: return (t, slot, visited) with the winning SLOT index
+    (chunk*ck + lane, -1 for miss) and skip the slot->gid mapping — the
+    caller recovers gid + fn + mat from ONE gather of its slot-indexed
+    packed rows (res_slot_pack; the round-3 production path)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
@@ -747,6 +754,8 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
         gid = out_pay[:, d + 1].astype(jnp.int32)
         return out_t[:, 0], gid, out_pay, counts[::RAY_BLOCK, 0]
     out_t, out_id, counts = outs
+    if raw_slot:
+        return out_t[:, 0], out_id[:, 0], counts[::RAY_BLOCK, 0]
     # kernel returns the winning SLOT; map to the dedup'd global pool id
     slot = out_id[:, 0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
@@ -1414,9 +1423,10 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d", "payload", "probe"))
+@partial(jax.jit, static_argnames=("d", "payload", "probe", "raw_slot"))
 def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
-                    active=None, sh=None, payload=False, probe=False):
+                    active=None, sh=None, payload=False, probe=False,
+                    raw_slot=False):
     """nearest_hit for pools too large for VMEM residency: the pool stays
     in HBM and visited chunks stream through a double buffer.  ``sh``
     (shared_rows_res) replaces the streamed ci chunks for primary rays.
@@ -1494,6 +1504,8 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
         gid = out_pay[:, d + 1].astype(jnp.int32)
         return out_t[:, 0], gid, out_pay, counts[::RAY_BLOCK, 0]
     out_t, out_id, counts = outs
+    if raw_slot:
+        return out_t[:, 0], out_id[:, 0], counts[::RAY_BLOCK, 0]
     slot = out_id[:, 0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)

@@ -300,21 +300,40 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         # no host-side compaction: inactive rays get init_t=0 inside the
         # kernel wrapper and all-dead ray blocks are skipped via
         # per-block liveness flags (cheaper than permutation gathers).
-        # The kernel emits the winner's [fn, mat, gid] payload row from
-        # its epilogue, so NO hit-geometry gather runs at all (the
-        # reference goes straight from hit to shade, tracer.hpp:1885-1890)
-        kt, kid, pay, vis = nearest(res_k, o, dirs, skip_local, d,
+        # Hit geometry: the kernel returns the winning SLOT and ONE
+        # gather of the slot-indexed packed rows recovers gid + fn + mat
+        # (~6.5 ms/frame).  The in-kernel payload epilogue was measured
+        # SLOWER (+11.7 ms: its one-hot extraction runs per chunk visit
+        # — scripts/stage_split.py); NTRACER_PAYLOAD=1 selects it for
+        # hardware A/Bs.
+        import os as _os
+        use_pay = bool(_os.environ.get("NTRACER_PAYLOAD")) \
+            or "res_slot_pack" not in arrs
+        if use_pay:
+            kt, kid, pay, vis = nearest(res_k, o, dirs, skip_local, d,
+                                        order=order, dmin=dmin,
+                                        active=active, sh=sh, payload=True)
+            carry = dict(
+                t=jnp.where(kid >= 0, kt, REAL_MAX),
+                pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
+                fn=pay[:, :d],
+                mat=pay[:, d].astype(jnp.int32),
+            )
+        else:
+            kt, slot, vis = nearest(res_k, o, dirs, skip_local, d,
                                     order=order, dmin=dmin, active=active,
-                                    sh=sh, payload=True)
+                                    sh=sh, raw_slot=True)
+            row = arrs["res_slot_pack"][jnp.clip(slot, 0, None)]
+            gidl = row[:, d + 1].astype(jnp.int32)
+            carry = dict(
+                t=jnp.where(slot >= 0, kt, REAL_MAX),
+                pid=jnp.where(slot >= 0, gidl + arrs["tri_base"], -1),
+                fn=row[:, :d],
+                mat=row[:, d].astype(jnp.int32),
+            )
         _stat(stats, "rays_traced",
               R if active is None else jnp.sum(active.astype(jnp.int32)))
         _stat(stats, "chunks_visited", jnp.sum(vis))
-        carry = dict(
-            t=jnp.where(kid >= 0, kt, REAL_MAX),
-            pid=jnp.where(kid >= 0, kid + arrs["tri_base"], -1),
-            fn=pay[:, :d],
-            mat=pay[:, d].astype(jnp.int32),
-        )
         return _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R)
 
     if _kernel_ok(arrs, cfg, R):
@@ -1448,6 +1467,17 @@ def get_device_scene(scene):
                 assert res["ids"][:, 0, :].size < 2 ** 24 \
                     and flat.config.n_tris < 2 ** 24, \
                     "kernel payload stores ids as f32 (exact below 2^24)"
+                # slot-indexed packed rows [fn(d), mat, local gid]: the
+                # winner's id AND hit geometry come from ONE gather of
+                # the raw_slot kernel output (measured cheaper than the
+                # in-kernel payload epilogue — stage_split.py)
+                sids = res["ids"][:, 0, :].reshape(-1).astype(np.int64)
+                safe = np.clip(sids, 0, flat.config.n_tris - 1)
+                sp = np.empty((len(sids), d + 2), np.float32)
+                sp[:, :d] = arrs["tri_fn"][safe]
+                sp[:, d] = np.where(sids >= 0, arrs["tri_mat"][safe], 0)
+                sp[:, d + 1] = np.where(sids >= 0, sids, -1)
+                arrs["res_slot_pack"] = sp
                 if flat.config.has_transparency:
                     rk.add_opacity(res, arrs["tri_opacity"],
                                    ck=rk.HBM_CK if res_hbm else rk.CK)

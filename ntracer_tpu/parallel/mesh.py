@@ -79,7 +79,8 @@ _TRI_KEYS = ("tri_p1", "tri_fn", "tri_en", "tri_dc", "tri_mat",
 # squeezed back to shard-local shapes inside shard_fn
 _RES_MAP = dict(res_gt="gt", res_ci="ci", res_ids="ids", res_klo="klo",
                 res_khi="khi", res_blo="b_lo", res_bhi="b_hi",
-                res_neff="n_eff", res_order="base_order", res_opa="opa")
+                res_neff="n_eff", res_order="base_order", res_opa="opa",
+                res_slot_pack="slot_pack")
 
 
 def _shard_layouts(arrs, cull_lo, cull_hi, cfg, n_prim, per_shard, d):
@@ -132,6 +133,18 @@ def _shard_layouts(arrs, cull_lo, cull_hi, cfg, n_prim, per_shard, d):
             # opacity rows (the HBM K-buffer walk streams them per chunk)
             rk.add_opacity(res, np.asarray(arrs["tri_opacity"][sl]), ck=ck)
         res["base_order"] = np.arange(nmax, dtype=np.int32)
+        # slot-indexed packed rows [fn(d), mat, LOCAL gid] (the winner's
+        # hit geometry in one gather; see wavefront.get_device_scene)
+        fn_l = np.asarray(arrs["tri_fn"][sl])
+        mat_l = np.asarray(arrs["tri_mat"][sl])
+        sids = res["ids"][:, 0, :].reshape(-1).astype(np.int64)
+        safe = np.clip(sids, 0, max(len(fn_l) - 1, 0))
+        sp = np.zeros((nmax * ck, d + 2), np.float32)
+        sp[:, d + 1] = -1                               # pad rows: gid -1
+        sp[:len(sids), :d] = fn_l[safe]
+        sp[:len(sids), d] = np.where(sids >= 0, mat_l[safe], 0)
+        sp[:len(sids), d + 1] = np.where(sids >= 0, sids, -1)
+        res["slot_pack"] = sp
         per_res.append(res)
 
     fills = dict(gt=0.0, ci=0.0, ids=-2, klo=rk.BIG, khi=-rk.BIG, opa=1.0)

@@ -502,3 +502,41 @@ def test_resident_pool_budget_policy():
     assert rk._pool_bytes(res) == (4 * 16 * 128 + 2 * 4 * 8 * 128) * 4
     res["opa"] = np.zeros((4, 8, 128), np.float32)
     assert rk._pool_bytes(res) == (4 * 16 * 128 + 3 * 4 * 8 * 128) * 4
+
+
+def test_resident_raw_slot_matches_gid_map(monkeypatch):
+    """raw_slot returns the winning SLOT (chunk*ck + lane); mapping it
+    through ids row 0 reproduces the default gid output, and the
+    slot-pack gather path (the production frame path — measured cheaper
+    than the in-kernel payload epilogue, scripts/stage_split.py)
+    recovers identical fn/mat/gid rows."""
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    scene = _scene_big()
+    n = rk.RAY_BLOCK * 2
+    cfg, device, res, o, dirs = _res_and_rays(scene, n)
+    # the slot_pack rows describe the DEVICE layout (centroid bins), so
+    # query that layout, not _res_and_rays' pool-order one
+    res = wavefront._res_dict(device)
+    arrs = {k: np.asarray(v) for k, v in device.items()}
+    skip = jnp.full((n,), -1, jnp.int32)
+
+    kt, kid, counts = rk.nearest_hit(res, o, dirs, skip, cfg.d)
+    rt, slot, rcounts = rk.nearest_hit(res, o, dirs, skip, cfg.d,
+                                       raw_slot=True)
+    slot = np.asarray(slot)
+    kid = np.asarray(kid)
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(kt))
+    np.testing.assert_array_equal(np.asarray(rcounts), np.asarray(counts))
+    ids = np.asarray(res["ids"])[:, 0, :].reshape(-1)
+    m = slot >= 0
+    assert np.array_equal(m, kid >= 0) and m.sum() > 100
+    np.testing.assert_array_equal(ids[slot[m]], kid[m])
+
+    # the engine's slot-indexed packed rows recover fn/mat/gid in 1 gather
+    sp = arrs["res_slot_pack"]
+    d = cfg.d
+    row = sp[np.clip(slot, 0, None)]
+    np.testing.assert_array_equal(row[m, d + 1].astype(np.int32), kid[m])
+    np.testing.assert_array_equal(row[m, :d], arrs["tri_fn"][kid[m]])
+    np.testing.assert_array_equal(row[m, d].astype(np.int32),
+                                  arrs["tri_mat"][kid[m]])
