@@ -79,9 +79,39 @@ def main():
                         c2 * (1 + inten[:, None]))
         return out[:, 0]
 
+    point = jnp.asarray(rng.random((R, 4), np.float32))
+    normal = jnp.asarray(rng.random((R, 4), np.float32) - 0.5)
+
+    @jax.jit
+    def shade_chain():
+        # the full camera-light shading formula on realistic inputs:
+        # material row gather + diffuse + masked specular (jnp.power)
+        row = table[mi]
+        mc, mspec = row[:, 0:3], row[:, 3:6]
+        spec_int, spec_exp = row[:, 8], row[:, 9]
+        sine = -jnp.sum(dirs * normal, axis=1)
+        light = jnp.maximum(sine, 0.0)[:, None] * jnp.ones((1, 3))
+        mask = (sine > 0) & (spec_int != 0)
+        base = jnp.power(jnp.maximum(sine, 0.0), spec_exp) * spec_int
+        spec = mspec * base[:, None]
+        spec_a = base
+        r0 = 0.1 + mc * light
+        local = spec + ((1 - spec_a))[:, None] * r0
+        m = point[:, 0] > 0.5
+        bgc = jnp.where(dirs[:, 1][:, None] >= 0,
+                        jnp.asarray([1.0, .5, .25]) * dirs[:, 1][:, None],
+                        jnp.asarray([0.0, .5, .75]))
+        return jnp.where(m[:, None], local, bgc)[:, 0]
+
+    @jax.jit
+    def power_only():
+        sine = -jnp.sum(dirs * normal, axis=1)
+        return jnp.power(jnp.maximum(sine, 0.0), table[mi][:, 9])
+
     stages = [("noop", noop), ("small_gather", small_gather),
               ("onehot_mm", onehot_mm), ("unswizzle", unswizzle),
-              ("bg", bg)]
+              ("bg", bg), ("shade_chain", shade_chain),
+              ("power_only", power_only)]
 
     def sync(x):
         return float(jnp.sum(x.reshape(-1)[:64].astype(jnp.int32)))

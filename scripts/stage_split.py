@@ -98,6 +98,34 @@ def main():
         row = slot_pack[jnp.clip(slot, 0, None)]
         return t + row[:, 0] + row[:, cfg.d + 1]    # keep the gather live
 
+    def make_pool_stage(level):
+        """Production trace_pool + incremental shading levels:
+        1 = trace_pool (incl. _trace_finish hit geometry)
+        2 = + aabb_distance mask
+        3 = + shade_local + background + compose
+        """
+        @jax.jit
+        def stage():
+            xs, ys, _ = wavefront._ray_coords(jnp.int32(0), W, count=W * H)
+            o, dirs = wavefront.make_rays(cam_o, cam_t, fovI, half_w,
+                                          half_h, xs, ys)
+            skip = jnp.full((W * H,), -1, jnp.int32)
+            pctx = wavefront.primary_ctx(device, cfg, cam_o)
+            r = wavefront.trace_pool(device, cfg, o, dirs, skip,
+                                     shared_origin=o[0], pctx=pctx)
+            if level == 1:
+                return r["t"] + r["normal"][:, 0]
+            dist = wavefront.aabb_distance(cfg, device, o, dirs)
+            hit = r["hit"] & (dist >= 0)
+            if level == 2:
+                return r["t"] + hit
+            local, _, _ = wavefront.shade_local(
+                device, cfg, dirs, r["point"], r["normal"], r["pid"],
+                r["mat"], 0, dyn, active=hit)
+            bg = wavefront.background(cfg, dyn, dirs)
+            return jnp.where(hit[:, None], local, bg)[:, 0]
+        return stage
+
     n_tiles = -(-(W * H) // wavefront.TILE)
     key = packing.format_key(fmt)
     dyn = wavefront._scene_dyn(scene)
@@ -120,6 +148,9 @@ def main():
         ("trace_nopay", make_trace()),
         ("trace_pay", make_trace(payload=True)),
         ("trace_raw_gather", trace_raw_gather),
+        ("pool1_finish", make_pool_stage(1)),
+        ("pool2_aabb", make_pool_stage(2)),
+        ("pool3_shade", make_pool_stage(3)),
         ("frame_unpacked", frame_unpacked),
         ("frame", frame),
     ]
@@ -157,6 +188,13 @@ def main():
             "payload_epilogue": round(ms["trace_pay"] - ms["trace_raw"], 2),
             "slot_gather": round(ms["trace_raw_gather"] - ms["trace_raw"],
                                  2),
+            "trace_finish": round(ms["pool1_finish"]
+                                  - ms["trace_raw_gather"], 2),
+            "aabb_mask": round(ms["pool2_aabb"] - ms["pool1_finish"], 2),
+            "shade_bg_compose": round(ms["pool3_shade"] - ms["pool2_aabb"],
+                                      2),
+            "unswizzle+glue": round(ms["frame_unpacked"] - ms["pool3_shade"],
+                                    2),
             "shade+bg+glue": round(ms["frame_unpacked"]
                                    - ms["trace_raw_gather"], 2),
             "device_pack": round(ms["frame"] - ms["frame_unpacked"], 2),
