@@ -93,7 +93,11 @@ def main():
     def run(probe):
         t_, id_, vis = rk.nearest_hit_hbm(res, o, dirs, skip, d,
                                           probe=probe, **kw)
-        return jax.block_until_ready((t_, id_, vis))
+        # block_until_ready does not reliably synchronize through the
+        # tunneled backend (bench.py) — pull a tiny reduction instead;
+        # the device executes in order, so this waits for the walk
+        float(jnp.sum(t_[:64].astype(jnp.int32)))
+        return t_, id_, vis
 
     # compile both
     run(False)
