@@ -101,18 +101,27 @@ def pack_device(colors, key):
     return jnp.stack(out, axis=1)
 
 
-@partial(jax.jit, static_argnames=("key",))
-def pack_device_stream(colors, key):
+@partial(jax.jit, static_argnames=("key", "permute"))
+def pack_device_stream(colors, key, permute=None):
     """Device-side packing to a dense uint32 stream: (R, 3) float32 ->
     (R//4, bpp) uint32 whose little-endian byte stream is identical to
     ``pack_device``'s (R, bpp) uint8 output (groups of 4 pixels = bpp
     words).  Staying in uint32 lanes skips pack_device's per-byte uint8
     extract + stack relayout, which costs ~2.5 ms on a 1M-pixel frame
-    (byte ops are lane-hostile on the VPU).  Requires R % 4 == 0."""
+    (byte ops are lane-hostile on the VPU).  Requires R % 4 == 0.
+
+    ``permute`` (optional) reorders PIXELS between the per-pixel word
+    pack and the 4-pixel stream grouping: it receives an (R, k) array
+    and returns it row-permuted (the tile unswizzle).  Permuting the
+    packed words instead of the float colors moves one (R, 3) f32
+    relayout to an (R, ~1) u32 one — bit-identical output because the
+    word pack is per-pixel."""
     channels, bpp, reverse = key
     R = colors.shape[0]
     assert R % 4 == 0, "pack_device_stream needs a multiple of 4 pixels"
     words = _pack_words(colors, key)
+    if permute is not None:
+        words = [permute(w[:, None])[:, 0] for w in words]
     wr = [w.reshape(-1, 4) for w in words]  # (R//4, 4 px per group)
     byte_order = list(range(bpp - 1, -1, -1) if reverse else range(bpp))
     out = []

@@ -1077,14 +1077,16 @@ def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
         xs, ys, swz = _ray_coords(start, w, count)
         o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
         colors = ray_colors(arrs, cfg, dyn, o, dirs, pctx=pctx)
-        if swz is not None:
-            colors = swz(colors)
         # key=None: wide-channel format — ship raw floats; pull_packed
         # packs them on the host with exact 64-bit math.  Otherwise pack
         # to a dense uint32 stream (the host views it as bytes) — same
-        # bitstream as pack_device without the u8 relayout.
-        return colors if key is None else packing.pack_device_stream(
-            colors, key)
+        # bitstream as pack_device without the u8 relayout.  The tile
+        # unswizzle permutes the packed per-pixel u32 words, not the
+        # (R, 3) float colors — bit-identical (verified in-program on
+        # hardware) and ~4 ms/frame cheaper at 1024² (stage_split.py).
+        if key is None:
+            return colors if swz is None else swz(colors)
+        return packing.pack_device_stream(colors, key, permute=swz)
 
     n_groups = n_tiles // group_tiles
     if n_groups == 1:
@@ -1106,10 +1108,9 @@ def _frame_packed_box(d, cam_origin, cam_t, fov_params, base, w, n_tiles,
     def group(start):
         xs, ys, swz = _ray_coords(start, w, count)
         colors = _box_colors(d, cam_origin, cam_t, fov_params, xs, ys)
-        if swz is not None:
-            colors = swz(colors)
-        return colors if key is None else packing.pack_device_stream(
-            colors, key)
+        if key is None:
+            return colors if swz is None else swz(colors)
+        return packing.pack_device_stream(colors, key, permute=swz)
 
     n_groups = n_tiles // group_tiles
     if n_groups == 1:

@@ -141,6 +141,17 @@ def main():
             device, cfg, dyn, cam_o, cam_t, (fovI, half_w, half_h),
             jnp.int32(0), W, n_tiles, None)
 
+    @jax.jit
+    def frame_pack_after():
+        # EXPERIMENT: permute packed per-pixel u32 words instead of the
+        # (R, 3) float colors (bit-identical stream)
+        xs, ys, swz = wavefront._ray_coords(jnp.int32(0), W, count=W * H)
+        o, dirs = wavefront.make_rays(cam_o, cam_t, fovI, half_w, half_h,
+                                      xs, ys)
+        pctx = wavefront.primary_ctx(device, cfg, cam_o)
+        colors = wavefront.ray_colors(device, cfg, dyn, o, dirs, pctx=pctx)
+        return packing.pack_device_stream(colors, key, permute=swz)
+
     stages = [
         ("noop", noop),
         ("raygen", raygen),
@@ -153,6 +164,7 @@ def main():
         ("pool3_shade", make_pool_stage(3)),
         ("frame_unpacked", frame_unpacked),
         ("frame", frame),
+        ("frame_pack_after", frame_pack_after),
     ]
 
     def sync(x):
@@ -167,6 +179,8 @@ def main():
         print(f"# {name} compiled in {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
 
+    eq = bool(jax.device_get(jnp.array_equal(frame(), frame_pack_after())))
+
     best = {}
     for _ in range(args.rounds):
         for name, f in stages:
@@ -179,6 +193,7 @@ def main():
     print(json.dumps({
         "experiment": "stage_split",
         "size": W,
+        "pack_after_bitexact": eq,
         "raw_ms": ms,
         "derived_ms": {
             "rtt_floor": ms["noop"],
