@@ -169,9 +169,15 @@ def main():
     # with the full frame.  Both min-of-rounds, interleaved with the
     # frame measurement above so the numbers share the window.
     from ntracer_tpu.engine import resident_kernels as rk
+    # measure the split at the canonical axis view (the orbit leaves the
+    # camera at an arbitrary orientation; stage_split.py uses this view)
+    camera = nt.Camera()
+    camera.translate(nt.Vector.axis(2, cam_distance))
+    scene.set_camera(camera)
     cfg, device, _flat = wavefront.get_device_scene(scene)
     trace_ms = None
     frame_fixed_ms = None
+    rtt_ms = None
     if "res_gt" in device:
         res = wavefront._res_dict(device)
         scene._set_view_size(W, H)
@@ -196,18 +202,38 @@ def main():
                 order=pctx["order"], dmin=pctx["dmin"], sh=pctx["sh_res"])
             return t + slot
 
+        @jax.jit
+        def noop():
+            return jnp.zeros((64,), jnp.float32)
+
         sync(trace_only())  # compile
+        sync(noop())
+
+        def timed_batch(f, n=4):
+            # queue n dispatches, then one sync: the tunnel RTT (and its
+            # multi-ms bursts) is amortized 1/n instead of being
+            # subtracted per call, which round-4 measurements showed
+            # swamps a per-call split on this link
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(n):
+                last = f()
+            sync(last)
+            return (time.perf_counter() - t0) / n
+
         trace_ms = float("inf")
         frame_fixed_ms = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            sync(trace_only())
-            trace_ms = min(trace_ms, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            sync(wavefront.frame_device_arrays(scene, fmt))
-            frame_fixed_ms = min(frame_fixed_ms, time.perf_counter() - t0)
-        trace_ms = round(trace_ms * 1000, 2)
-        frame_fixed_ms = round(frame_fixed_ms * 1000, 2)
+        rtt_ms = float("inf")
+        for _ in range(3):
+            rtt_ms = min(rtt_ms, timed_batch(noop))
+            trace_ms = min(trace_ms, timed_batch(trace_only))
+            frame_fixed_ms = min(
+                frame_fixed_ms,
+                timed_batch(lambda: wavefront.frame_device_arrays(scene,
+                                                                  fmt)))
+        trace_ms = round((trace_ms - rtt_ms) * 1000, 2)
+        frame_fixed_ms = round((frame_fixed_ms - rtt_ms) * 1000, 2)
+        rtt_ms = round(rtt_ms * 1000, 2)
 
     print(json.dumps({
         "metric": "120-cell 4D @1024^2 primary rays",
@@ -228,9 +254,11 @@ def main():
         "on_device_mrays": round((W * H) / dev_sec / 1e6, 3),
         "tpu_parity_mismatches": parity_mism,
         "tpu_parity_ok": parity_ok,
-        # trace vs non-trace split at a fixed view, same window (the walk
-        # kernel alone vs the full packed frame, both min-of-rounds
+        # trace vs non-trace split at the canonical axis view, same
+        # window, RTT-corrected via an interleaved noop-call baseline
+        # (the walk kernel alone vs the full packed frame, min-of-rounds
         # interleaved); None when the scene uses the XLA-scan fallback
+        "rtt_floor_ms": rtt_ms,
         "trace_ms": trace_ms,
         "frame_fixed_view_ms": frame_fixed_ms if trace_ms is not None
         else None,

@@ -250,6 +250,28 @@ def get_sharded_renderer(scene, mesh: Mesh, tile: int):
     return cache[1][key]
 
 
+def _shard_groups(per_shard):
+    """Fused-dispatch geometry for one pixel shard: (n_groups, rays per
+    group).  Mirrors wavefront._frame_packed_composite — one fused
+    ray_colors call per group (a lax.map over small tiles re-enters the
+    Pallas kernels per tile, ~0.6 ms each)."""
+    if per_shard % wavefront.TILE == 0:
+        n_tiles = per_shard // wavefront.TILE
+        gt = min(n_tiles, wavefront.MAX_GROUP_TILES)
+        while n_tiles % gt:
+            gt -= 1
+        return n_tiles // gt, gt * wavefront.TILE
+    return 1, per_shard
+
+
+def _run_groups(group, base, n_groups, count):
+    if n_groups == 1:
+        return group(base)
+    starts = base + jnp.arange(n_groups, dtype=jnp.int32) * count
+    out = jax.lax.map(group, starts)
+    return out.reshape(-1, out.shape[-1])
+
+
 def build_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
     """Frame renderer for the PRODUCTION path: pixels sharded over the
     ``px`` axis, per-shard ray indices generated on-device (no per-frame
@@ -274,8 +296,7 @@ def build_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
     # pool per frame would dominate on the tunneled host link
     arrs = jax.device_put(
         arrs, jax.sharding.NamedSharding(mesh, P()))
-    n_tiles = max(1, per_shard // wavefront.TILE)
-    ts = per_shard // n_tiles
+    n_groups, count = _shard_groups(per_shard)
 
     def shard_fn(arrs_l, dyn, cam_origin, cam_t, fov_params, start):
         arrs_l = dict(arrs_l)
@@ -285,20 +306,21 @@ def build_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
         base = start + jax.lax.axis_index("px").astype(jnp.int32) * per_shard
         pctx = wavefront.primary_ctx(arrs_l, cfg, cam_origin)
 
-        def tile(t0):
-            idx = t0 + jnp.arange(ts, dtype=jnp.int32)
-            xs = (idx % width).astype(f32)
-            ys = (idx // width).astype(f32)
+        def group(g0):
+            # tiled swizzled ray order when the shard geometry allows it
+            # (32x16-px blocks -> coherent kernel blocks, like the
+            # single-chip path); the unswizzle permutes the packed words
+            xs, ys, swz = wavefront._ray_coords(g0, width, count)
             o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h,
                                 xs, ys)
             colors = ray_colors(arrs_l, cfg, dyn, o, dirs, pctx=pctx)
             # key=None: wide-channel format — the caller packs raw floats
             # on the host (wavefront._needs_host_pack)
-            return colors if key is None else packing.pack_device(colors, key)
+            if key is None:
+                return colors if swz is None else swz(colors)
+            return packing.pack_device_stream(colors, key, permute=swz)
 
-        starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * ts
-        out = jax.lax.map(tile, starts)
-        return out.reshape(per_shard, -1)
+        return _run_groups(group, base, n_groups, count)
 
     specs = {k: P() for k in arrs}
     dyn_spec = dict(ambient=P(), bg1=P(), bg2=P(), bg3=P())
@@ -318,25 +340,21 @@ def build_packed_box_renderer(scene, mesh: Mesh, width, per_shard, key):
 
     n_px = mesh.shape["px"]
     d = scene.dimension
-    n_tiles = max(1, per_shard // wavefront.TILE)
-    ts = per_shard // n_tiles
+    n_groups, count = _shard_groups(per_shard)
     del n_px
 
     def shard_fn(cam_origin, cam_t, fov_params, start):
-        fovI, half_w, half_h = fov_params
         base = start + jax.lax.axis_index("px").astype(jnp.int32) * per_shard
 
-        def tile(t0):
-            idx = t0 + jnp.arange(ts, dtype=jnp.int32)
-            xs = (idx % width).astype(f32)
-            ys = (idx // width).astype(f32)
+        def group(g0):
+            xs, ys, swz = wavefront._ray_coords(g0, width, count)
             colors = wavefront._box_colors(d, cam_origin, cam_t, fov_params,
                                            xs, ys)
-            return colors if key is None else packing.pack_device(colors, key)
+            if key is None:
+                return colors if swz is None else swz(colors)
+            return packing.pack_device_stream(colors, key, permute=swz)
 
-        starts = base + jnp.arange(n_tiles, dtype=jnp.int32) * ts
-        out = jax.lax.map(tile, starts)
-        return out.reshape(per_shard, -1)
+        return _run_groups(group, base, n_groups, count)
 
     in_specs = (P(), P(), (P(), P(), P()), P())
     try:

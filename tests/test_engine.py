@@ -652,3 +652,37 @@ def test_payload_env_path_matches_slot_gather(monkeypatch):
         wavefront._frame_packed_composite.clear_cache()
     assert (True, False) in seen, f"payload path not traced: {seen}"
     np.testing.assert_array_equal(default, paypath)
+
+
+def test_render_packed_multidevice_swizzled_tiles(monkeypatch):
+    """The px-mesh packed renderer uses the same 32x16-px tiled ray order
+    as the single-chip path (coherent kernel blocks) with the unswizzle
+    applied to the packed words; at a frame geometry where the swizzle is
+    ACTIVE per shard (count % w == 0, rows per group % 16 == 0) the bytes
+    must still match the single-device render exactly."""
+    import jax
+    from ntracer_tpu.engine import wavefront
+    from ntracer_tpu.render import ImageFormat, Channel, BlockingRenderer
+
+    real = jax.devices()
+    if len(real) < 8:
+        pytest.skip("needs the 8-device mesh")
+
+    # 32x128: total 4096 px -> per_shard 512 = 16 rows of 32 -> the
+    # tiled swizzle branch is taken inside each shard
+    w, h = 32, 128
+    fmt = ImageFormat(w, h, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                             Channel(8, 0, 0, 1)])
+    xs, ys, swz = wavefront._ray_coords(0, w, count=512)
+    assert swz is not None, "test geometry must activate the swizzle"
+
+    r = BlockingRenderer()
+    scene = _random_scene(NTracer(3), n=60, seed=9)
+    multi = bytearray(fmt.pitch * fmt.height)
+    assert r.render(multi, fmt, scene)
+
+    single = bytearray(fmt.pitch * fmt.height)
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: real[:1])
+    assert r.render(single, fmt, scene)
+    monkeypatch.undo()
+    assert bytes(multi) == bytes(single)
