@@ -83,12 +83,18 @@ def main():
     from ntracer import ImageFormat, Channel
     fmt = ImageFormat(W, H, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
                              Channel(8, 0, 0, 1)])
-    devs = wavefront.frame_device_arrays(scene, fmt)
-    jax.block_until_ready(devs)          # compile + warm
+    import jax.numpy as jnp
+
+    def sync(dev):
+        # block_until_ready does not reliably synchronize through the
+        # tunneled backend (bench.py); pull a tiny reduction instead
+        return float(jnp.sum(dev.reshape(-1)[:64].astype(jnp.int32)))
+
+    sync(wavefront.frame_device_arrays(scene, fmt))   # compile + warm
     best = float("inf")
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        jax.block_until_ready(wavefront.frame_device_arrays(scene, fmt))
+        sync(wavefront.frame_device_arrays(scene, fmt))
         best = min(best, time.perf_counter() - t0)
 
     traced = st.get("rays_traced", 0)

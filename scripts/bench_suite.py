@@ -84,6 +84,8 @@ def pipelined_sec(nt, scene, camera, cam_distance, frames, fmt):
         dev = wavefront.frame_device_arrays(scene, fmt)   # dispatch N
         if prev is not None:
             data = np.asarray(prev)                       # pull N-1
+            if data.dtype == np.uint32:   # dense packed stream (round 4)
+                data = np.ascontiguousarray(data).view(np.uint8)
             out[:] = data.reshape(-1)[: out.size]
         prev = dev
         advance()
