@@ -686,3 +686,78 @@ def test_render_packed_multidevice_swizzled_tiles(monkeypatch):
     assert r.render(single, fmt, scene)
     monkeypatch.undo()
     assert bytes(multi) == bytes(single)
+
+
+def test_px_sharded_renderer_has_no_collectives(monkeypatch):
+    """The px-mesh production renderer must compile to ZERO cross-device
+    collectives: pixels are embarrassingly parallel, every shard owns its
+    rays and its replicated pool, and only packed bytes leave the device
+    (BASELINE.md px-sharding ceiling argument — per-chip throughput
+    scales linearly because the only collective is the frame gather,
+    which the host does by pulling per-shard slabs)."""
+    import jax
+    from ntracer_tpu.parallel import mesh as pmesh
+    from ntracer_tpu.engine import wavefront, packing
+    from ntracer_tpu.render import ImageFormat, Channel
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+
+    scene = _random_scene(NTracer(3), n=60, seed=9)
+    w, h = 32, 128
+    fmt = ImageFormat(w, h, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                             Channel(8, 0, 0, 1)])
+    key = packing.format_key(fmt)
+    m = pmesh.make_mesh(8, 1)
+    per = -(-w * h // 8)
+    fn, arrs = pmesh.get_packed_renderer(scene, m, w, per, key)
+    import jax.numpy as jnp
+    dyn = wavefront._scene_dyn(scene)
+    scene._set_view_size(w, h)
+    fov = wavefront._fov_params(w, h, scene.fov)
+    txt = fn.lower(arrs, dyn, jnp.asarray(scene._cam._origin),
+                   jnp.asarray(scene._cam._t), fov,
+                   jnp.int32(0)).compile().as_text()
+    colls = ("all-gather", "all-reduce", "collective-permute",
+             "all-to-all", "reduce-scatter")
+    found = {c: txt.count(c) for c in colls if txt.count(c)}
+    assert not found, f"px-only sharding must be collective-free: {found}"
+
+
+def test_prim_sharded_renderer_uses_collectives(monkeypatch):
+    """Converse of the px test: tensor-parallel pool shards DO need a
+    cross-shard winner reduction (all_gather + argmin), so the compiled
+    px x prim program must contain collectives — proving the HLO
+    inspection in the px test isn't vacuously passing."""
+    import jax
+    from ntracer_tpu.parallel import mesh as pmesh
+    from ntracer_tpu.engine import wavefront
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+
+    scene = _random_scene(NTracer(3), n=60, seed=9)
+    w = h = 24
+    fmt = _Fmt(w, h)
+    scene._set_view_size(w, h)
+    m = pmesh.make_mesh(4, 2)           # px x prim
+    total = w * h
+    tile = -(-total // 4) * 4
+    fn, arrs = pmesh.get_sharded_renderer(scene, m, tile)
+    import jax.numpy as jnp
+    import numpy as np_
+    xs, ys = np_.meshgrid(np_.arange(w, dtype=np_.float32),
+                          np_.arange(h, dtype=np_.float32))
+    xs = np_.pad(xs.ravel(), (0, tile - total))
+    ys = np_.pad(ys.ravel(), (0, tile - total))
+    dyn = wavefront._scene_dyn(scene)
+    fov = wavefront._fov_params(w, h, scene.fov)
+    txt = fn.lower(arrs, dyn, jnp.asarray(scene._cam._origin),
+                   jnp.asarray(scene._cam._t), fov, jnp.asarray(xs),
+                   jnp.asarray(ys)).compile().as_text()
+    n_coll = sum(txt.count(c) for c in
+                 ("all-gather", "all-reduce", "collective-permute",
+                  "all-to-all", "reduce-scatter"))
+    assert n_coll > 0, "prim sharding needs a cross-shard winner reduction"
