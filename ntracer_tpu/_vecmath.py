@@ -236,3 +236,69 @@ def gram_schmidt_normalize(t_orientation: np.ndarray) -> np.ndarray:
     for i in range(1, d):
         t[i] = unit(new_axes[i - 1])
     return t
+
+
+def batched_determinant_inplace(m: np.ndarray) -> np.ndarray:
+    """Vectorized ``determinant_inplace`` over a leading batch axis:
+    (N, d, d) float32 -> (N,) float32, bit-identical per element to the
+    scalar routine (same Crout elimination, same strictly-greater partial
+    pivoting, every f32 operation applied in the same order — the batch
+    axis only vectorizes across independent matrices).  ``m`` is
+    destroyed."""
+    n, d, _ = m.shape
+    swapped = np.zeros(n, np.int64)
+    zero = np.zeros(n, bool)
+    ar = np.arange(n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for j in range(d):
+            for i in range(j, d):
+                s = np.zeros(n, dtype=f32)
+                for k in range(j):
+                    s = s + m[:, i, k] * m[:, k, j]
+                m[:, i, j] = m[:, i, j] - s
+
+            alt_row = np.full(n, j)
+            alt_val = np.abs(m[:, j, j])
+            for i in range(j + 1, d):
+                v = np.abs(m[:, i, j])
+                take = v > alt_val
+                alt_row = np.where(take, i, alt_row)
+                alt_val = np.where(take, v, alt_val)
+            need = alt_row != j
+            swapped += need
+            other = m[ar, alt_row].copy()           # (n, d)
+            row_j = m[:, j].copy()
+            m[ar, alt_row] = np.where(need[:, None], row_j, other)
+            m[:, j] = np.where(need[:, None], other, row_j)
+            zero |= ~need & (alt_val == 0)
+
+            for i in range(j + 1, d):
+                s = np.zeros(n, dtype=f32)
+                for k in range(j):
+                    s = s + m[:, j, k] * m[:, k, i]
+                m[:, j, i] = (m[:, j, i] - s) / m[:, j, j]
+
+    r = np.where(swapped % 2 == 1, f32(-1), f32(1)).astype(f32)
+    for i in range(d):
+        r = r * m[:, i, i]
+    return np.where(zero, f32(0), r).astype(f32)
+
+
+def batched_cross(vs: np.ndarray) -> np.ndarray:
+    """Vectorized generalized cross: (N, d-1, d) -> (N, d), bit-identical
+    per row to ``cross`` (same minors, same in-place Crout determinant)."""
+    vs = np.asarray(vs, dtype=f32)
+    n, rows, d = vs.shape
+    if rows != d - 1:
+        raise TypeError(
+            f"cross product of a {d}-dimensional space requires {d-1} vectors")
+    r = np.empty((n, d), dtype=f32)
+    fsign = f32(1) if d % 2 else f32(-1)
+    for i in range(d):
+        # minor skipping column i; tmp[:, k, j] = vs[:, j, k] (transposed,
+        # matching the scalar routine)
+        cols = [k for k in range(d) if k != i]
+        tmp = vs[:, :, cols].transpose(0, 2, 1).copy()   # (n, d-1, d-1)
+        r[:, i] = fsign * batched_determinant_inplace(tmp)
+        fsign = -fsign
+    return r

@@ -71,11 +71,15 @@ def load_obj(file, nt=None):
     verts, faces = _parse(file)
     mat = render.Material((1, 1, 1))
 
-    triangles = []
+    tris = []
     for face in faces:
         v = verts[face]
         for i in range(1, len(face) - 1):
-            triangles.append(nt.TrianglePrototype(
-                [nt.Vector(*v[0]), nt.Vector(*v[i]), nt.Vector(*v[i + 1])],
-                mat))
-    return triangles
+            tris.append((v[0], v[i], v[i + 1]))
+    if not tris:
+        return []
+    from .primitives import TrianglePrototype
+    # vectorized batch constructor (bit-identical fields to the scalar
+    # one) — per-object construction dominates large OBJ loads
+    return TrianglePrototype.batch_from_points(
+        np.asarray(tris, dtype=np.float32), mat)

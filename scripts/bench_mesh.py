@@ -61,8 +61,8 @@ def main():
     mat = Material((1, 0.6, 0.4))
     tris = sphere_mesh(args.tris)
     t0 = time.perf_counter()
-    protos = [nt.TrianglePrototype([nt.Vector(*p) for p in t], mat)
-              for t in tris]
+    from ntracer_tpu.primitives import TrianglePrototype
+    protos = TrianglePrototype.batch_from_points(tris, mat)
     t_proto = time.perf_counter() - t0
     t0 = time.perf_counter()
     scene = nt.build_composite_scene(protos)

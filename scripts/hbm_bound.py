@@ -61,8 +61,8 @@ def main():
     nt = NTracer(3)
     mat = Material((1, 0.6, 0.4))
     tris = sphere_mesh(args.tris)
-    protos = [nt.TrianglePrototype([nt.Vector(*p) for p in t], mat)
-              for t in tris]
+    from ntracer_tpu.primitives import TrianglePrototype
+    protos = TrianglePrototype.batch_from_points(tris, mat)
     scene = nt.build_composite_scene(protos)
     cam = nt.Camera()
     cam.translate(nt.Vector(0, 0, -3))

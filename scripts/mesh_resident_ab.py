@@ -33,8 +33,8 @@ def build_scene(tris_np):
     from ntracer import NTracer, Material
     nt = NTracer(3)
     mat = Material((1, 0.6, 0.4))
-    protos = [nt.TrianglePrototype([nt.Vector(*p) for p in t], mat)
-              for t in tris_np]
+    from ntracer_tpu.primitives import TrianglePrototype
+    protos = TrianglePrototype.batch_from_points(tris_np, mat)
     scene = nt.build_composite_scene(protos)
     cam = nt.Camera()
     cam.translate(nt.Vector(0, 0, -3))

@@ -602,3 +602,48 @@ def test_reference_suite_passes():
     result = unittest.TextTestRunner(verbosity=0).run(suite)
     assert result.testsRun >= 10
     assert not result.failures and not result.errors
+
+
+def test_triangle_prototype_batch_bitexact():
+    """TrianglePrototype.batch_from_points (the vectorized OBJ-scale load
+    path) must produce fields BIT-IDENTICAL to the scalar constructor —
+    same Crout-LU cofactor crosses (vm.batched_cross), same BLAS dot —
+    across dimensions including the generic-d range."""
+    import numpy as np
+    from ntracer_tpu.primitives import TrianglePrototype
+    from ntracer_tpu.render import Material
+
+    rng = np.random.RandomState(3)
+    for d in (3, 4, 5, 8, 10):
+        mat = Material((1, 0.5, 0.25))
+        pts = rng.uniform(-3, 3, (40, d, d)).astype(np.float32)
+        batch = TrianglePrototype.batch_from_points(pts, mat)
+        assert len(batch) == 40
+        for i in range(40):
+            ref = TrianglePrototype([p for p in pts[i]], mat)
+            got = batch[i]
+            rt, gt = ref.primitive, got.primitive
+            np.testing.assert_array_equal(rt._p1, gt._p1)
+            np.testing.assert_array_equal(rt._fn, gt._fn)
+            np.testing.assert_array_equal(rt._en, gt._en)
+            assert rt._d == gt._d
+            np.testing.assert_array_equal(
+                np.asarray(list(ref.boundary.start)),
+                np.asarray(list(got.boundary.start)))
+            np.testing.assert_array_equal(
+                np.asarray(list(ref.boundary.end)),
+                np.asarray(list(got.boundary.end)))
+            np.testing.assert_array_equal(ref._first_edge_normal,
+                                          got._first_edge_normal)
+            assert gt.material is mat
+
+    # per-prototype material sequence + validation errors
+    mats = [Material((1, 0, 0)), Material((0, 1, 0))]
+    pts3 = rng.uniform(-1, 1, (2, 3, 3)).astype(np.float32)
+    protos = TrianglePrototype.batch_from_points(pts3, mats)
+    assert protos[0].material is mats[0] and protos[1].material is mats[1]
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        TrianglePrototype.batch_from_points(pts3, mats[:1])
+    with _pytest.raises(TypeError):
+        TrianglePrototype.batch_from_points(pts3[:, :2, :], mats)
