@@ -24,7 +24,7 @@ import numpy as np
 from . import _vecmath as vm
 from .primitives import (TrianglePrototype, TriangleBatchPrototype,
                          SolidPrototype, CUBE, SPHERE)
-from .api import BATCH_SIZE
+from .api import AABB, BATCH_SIZE
 
 f32 = np.float32
 
@@ -531,28 +531,109 @@ def group_primitives(primitives):
         loo = prefix[:, :dd] * suffix[:, 1:]
         return loo.sum(axis=1)
 
-    for pi in range(len(items)):
-        p = items[pi]
-        if p is None or not isinstance(p, TrianglePrototype):
+    # Greedy selection with O(live) scans: a linked list over the LIVE
+    # triangle candidates replaces re-walking consumed slots, and the
+    # chosen groups are recorded as index lists so every
+    # TriangleBatchPrototype is constructed in ONE vectorized pass at the
+    # end (the per-batch np.stack constructor dominated large builds:
+    # 22 s of a 27 s 300k-triangle scene build).  Selection order,
+    # tie-breaking (stable sort = (metric, index)), and the early-exit
+    # rule are IDENTICAL to the per-item loop this replaces.
+    n = len(items)
+    is_tri = [isinstance(p, TrianglePrototype) for p in items]
+    nxt = list(range(1, n + 1))     # next live tri candidate >= slot+1
+    prv = list(range(-1, n - 1))
+    consumed = [False] * n
+    groups = []                      # (pivot, [chosen indices incl pivot])
+
+    def unlink(j):
+        consumed[j] = True
+        a, b = prv[j], nxt[j]
+        if a >= 0:
+            nxt[a] = b
+        if b < n:
+            prv[b] = a
+
+    for pi in range(n):
+        if consumed[pi] or not is_tri[pi]:
             continue
         idxs = []
-        pj = pi + 1
-        while pj < len(items) and len(idxs) < WINDOW:
-            q = items[pj]
-            if q is not None and isinstance(q, TrianglePrototype):
+        pj = nxt[pi]
+        while pj < n and len(idxs) < WINDOW:
+            if is_tri[pj]:
                 idxs.append(pj)
-            pj += 1
+            pj = nxt[pj]
         if len(idxs) < BATCH_SIZE - 1:
             break
-        metrics = window_metrics(pi, np.asarray(idxs))
-        cand = sorted(zip(metrics.tolist(), idxs))
-        chosen = [pi] + [j for _, j in cand[:BATCH_SIZE - 1]]
-        batch = TriangleBatchPrototype([items[j] for j in chosen])
-        items[pi] = batch
-        for j in chosen[1:]:
-            items[j] = None
+        idxs = np.asarray(idxs)
+        metrics = window_metrics(pi, idxs)
+        order = np.argsort(metrics, kind="stable")[:BATCH_SIZE - 1]
+        chosen = [pi] + idxs[order].tolist()
+        groups.append(chosen)
+        for j in chosen:
+            unlink(j)
 
-    return [p for p in items if p is not None]
+    if not groups:
+        return list(items)
+
+    # one vectorized construction pass for every batch
+    tri_idx = [i for i in range(n) if is_tri[i]]
+    pos = {i: k for k, i in enumerate(tri_idx)}
+    srcs = {id(items[i]._src[0]) for i in tri_idx
+            if getattr(items[i], "_src", None) is not None}
+    if len(srcs) == 1 and all(getattr(items[i], "_src", None) is not None
+                              for i in tri_idx):
+        # batch_from_points fast path: every prototype's fields are rows
+        # of ONE shared array set — fancy-index it instead of stacking
+        # 300k small views (~3 s at 300k triangles)
+        src = items[tri_idx[0]]._src[0]
+        rows = np.asarray([items[i]._src[1] for i in tri_idx])
+        p1_all = src["p1"][rows]
+        fn_all = src["fn"][rows]
+        en_all = src["en"][rows]
+        dv_all = src["d"][rows]
+        pt_all = src["pts"][rows]
+        fe_all = src["fen"][rows]
+    else:
+        p1_all = np.stack([items[i].primitive._p1 for i in tri_idx])
+        fn_all = np.stack([items[i].primitive._fn for i in tri_idx])
+        en_all = np.stack([items[i].primitive._en for i in tri_idx])
+        dv_all = np.asarray([items[i].primitive._d for i in tri_idx],
+                            dtype=f32)
+        pt_all = np.stack([items[i]._points for i in tri_idx])
+        fe_all = np.stack([items[i]._first_edge_normal for i in tri_idx])
+
+    gi = np.asarray([[pos[j] for j in chosen] for chosen in groups])
+    g_p1 = p1_all[gi]                       # (G, B, d)
+    g_fn = fn_all[gi]
+    g_en = en_all[gi].transpose(0, 2, 1, 3)  # (G, d-1, B, d)
+    g_dv = dv_all[gi]
+    g_pt = pt_all[gi].transpose(0, 2, 1, 3)  # (G, d, B, d)
+    g_fe = fe_all[gi]
+    g_lo = starts[np.asarray(groups)].min(axis=1).astype(f32)
+    g_hi = ends[np.asarray(groups)].max(axis=1).astype(f32)
+
+    from .primitives import TriangleBatch
+    out = list(items)
+    for g, chosen in enumerate(groups):
+        batch = TriangleBatch.__new__(TriangleBatch)
+        batch._p1 = g_p1[g]
+        batch._fn = g_fn[g]
+        batch._en = g_en[g]
+        batch._d = g_dv[g]
+        batch._materials = tuple(items[j].primitive._material
+                                 for j in chosen)
+        bp = TriangleBatchPrototype.__new__(TriangleBatchPrototype)
+        bp.primitive = batch
+        bp.boundary = AABB._wrap(g_lo[g], g_hi[g])
+        bp._protos = [items[j] for j in chosen]
+        bp._points = g_pt[g]
+        bp._first_edge_normal = g_fe[g]
+        out[chosen[0]] = bp
+        for j in chosen[1:]:
+            out[j] = None
+
+    return [p for p in out if p is not None]
 
 
 def build_tree(prototypes, params: KDTreeParams, make_leaf, make_branch,

@@ -526,6 +526,10 @@ class TrianglePrototype(PrimitivePrototype):
         else:
             mat = _material_arg(material)
 
+        # shared source arrays: consumers that need ALL rows again (the
+        # k-d batching pass) fancy-index these instead of re-stacking
+        # 300k small views (group_primitives fast path)
+        src = dict(p1=p1, fn=fn, en=ens, d=dplane, pts=pts, fen=fen)
         out = []
         for i in range(n):
             tri = Triangle.__new__(Triangle)
@@ -539,6 +543,7 @@ class TrianglePrototype(PrimitivePrototype):
             tp.boundary = AABB._wrap(lo[i], hi[i])
             tp._points = pts[i]
             tp._first_edge_normal = fen[i]
+            tp._src = (src, i)
             out.append(tp)
         return out
 
