@@ -599,6 +599,70 @@ void ntr_get_nodes(void* h, int32_t* axis, float* split, int32_t* left,
     std::memcpy(items, o.items.data(), o.items.size() * sizeof(int32_t));
 }
 
+
+int32_t ntr_group_select(int n, int d, const float* starts,
+                         const float* ends, const uint8_t* is_tri,
+                         int window, int batch, int32_t* out_idx) {
+    // Greedy windowed batch grouping: the selection loop of
+    // kdtree.group_primitives, bit-for-bit (f32 leave-one-out surface
+    // metric with sequential accumulation; stable (metric, index)
+    // selection; linked-list scan over live candidates).  out_idx must
+    // hold n int32; returns the group count G (groups are `batch`
+    // consecutive indices, pivot first).
+    if (d > 16) return -1;  // caller falls back to the Python loop
+    std::vector<int32_t> nxt(n), prv(n);
+    std::vector<char> consumed(n, 0);
+    for (int i = 0; i < n; i++) { nxt[i] = i + 1; prv[i] = i - 1; }
+    auto unlink = [&](int j) {
+        consumed[j] = 1;
+        int a = prv[j], b = nxt[j];
+        if (a >= 0) nxt[a] = b;
+        if (b < n) prv[b] = a;
+    };
+    std::vector<int32_t> idxs; idxs.reserve(window);
+    std::vector<std::pair<float, int32_t>> cand; cand.reserve(window);
+    int32_t ngroups = 0;
+    for (int pi = 0; pi < n; pi++) {
+        if (consumed[pi] || !is_tri[pi]) continue;
+        idxs.clear();
+        for (int pj = nxt[pi]; pj < n && (int)idxs.size() < window;
+             pj = nxt[pj])
+            if (is_tri[pj]) idxs.push_back(pj);
+        if ((int)idxs.size() < batch - 1) break;
+        const float* ps = starts + (size_t)pi * d;
+        const float* pe = ends + (size_t)pi * d;
+        cand.clear();
+        for (int32_t j : idxs) {
+            const float* qs = starts + (size_t)j * d;
+            const float* qe = ends + (size_t)j * d;
+            float comb[16], prefix[17], suffix[17];
+            for (int k = 0; k < d; k++)
+                comb[k] = std::max(pe[k], qe[k]) - std::min(ps[k], qs[k]);
+            prefix[0] = 1.0f;
+            suffix[d] = 1.0f;
+            for (int k = 0; k < d; k++) prefix[k + 1] = prefix[k] * comb[k];
+            for (int k = d - 1; k >= 0; k--) suffix[k] = suffix[k + 1] * comb[k];
+            float m = 0.0f;
+            for (int k = 0; k < d; k++) m = m + prefix[k] * suffix[k + 1];
+            cand.emplace_back(m, j);
+        }
+        std::stable_sort(cand.begin(), cand.end(),
+                         [](const std::pair<float, int32_t>& a,
+                            const std::pair<float, int32_t>& b) {
+                             return a.first < b.first;
+                         });
+        int32_t* g = out_idx + (size_t)ngroups * batch;
+        g[0] = pi;
+        unlink(pi);
+        for (int k = 0; k < batch - 1; k++) {
+            g[1 + k] = cand[k].second;
+            unlink(cand[k].second);
+        }
+        ngroups++;
+    }
+    return ngroups;
+}
+
 void ntr_free(void* h) { delete (Ctx*)h; }
 
 }  // extern "C"

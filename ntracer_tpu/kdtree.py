@@ -490,17 +490,28 @@ def group_primitives(primitives):
     if BATCH_SIZE <= 1 or not primitives:
         return list(primitives)
 
-    b_start = primitives[0].boundary._start.copy()
-    b_end = primitives[0].boundary._end.copy()
-    for p in primitives[1:]:
-        b_start = np.minimum(b_start, p.boundary._start)
-        b_end = np.maximum(b_end, p.boundary._end)
-    axis = best_axis(b_start, b_end)
+    # AABB rows for every prototype, fancy-indexed from the shared source
+    # arrays when all prototypes come from one batch_from_points call
+    srcs = {id(p._src[0]) for p in primitives
+            if getattr(p, "_src", None) is not None}
+    if len(srcs) == 1 and all(getattr(p, "_src", None) is not None
+                              for p in primitives):
+        src0 = primitives[0]._src[0]
+        rows0 = np.asarray([p._src[1] for p in primitives])
+        starts0 = src0["lo"][rows0]
+        ends0 = src0["hi"][rows0]
+    else:
+        starts0 = np.stack([p.boundary._start for p in primitives])
+        ends0 = np.stack([p.boundary._end for p in primitives])
 
-    items = sorted(primitives,
-                   key=lambda p: float((p.boundary._start[axis]
-                                        + p.boundary._end[axis]) * 0.5))
-    items = list(items)
+    axis = best_axis(starts0.min(axis=0), ends0.max(axis=0))
+
+    # stable center sort (same key and tie order as sorted(key=center))
+    centers = (starts0[:, axis] + ends0[:, axis]) * f32(0.5)
+    perm = np.argsort(centers, kind="stable")
+    items = [primitives[i] for i in perm]
+    starts = starts0[perm]
+    ends = ends0[perm]
 
     # The reference scans every remaining prototype for each pivot (an O(n^2)
     # pass, tracer.hpp:2406-2423).  After the center sort, good batch mates
@@ -510,11 +521,6 @@ def group_primitives(primitives):
     # windowed pass BEATS the exhaustive scan's total combined-AABB
     # surface (0.92x) — the center sort steers pivots toward local mates.
     WINDOW = GROUP_WINDOW
-    d = items[0].dimension
-    starts = np.stack([p.boundary._start if p is not None else
-                       np.zeros(d, f32) for p in items])
-    ends = np.stack([p.boundary._end if p is not None else
-                     np.zeros(d, f32) for p in items])
 
     def window_metrics(pi, idxs):
         """grouping_metric (combined-AABB surface) vectorized over
@@ -527,9 +533,14 @@ def group_primitives(primitives):
         for k in range(dd):
             prefix[:, k + 1] = prefix[:, k] * comb[:, k]
             suffix[:, dd - 1 - k] = suffix[:, dd - k] * comb[:, dd - 1 - k]
-        # surface term i = prod of all dims except i
+        # surface term i = prod of all dims except i; accumulate
+        # SEQUENTIALLY in f32 so the native ntr_group_select computes the
+        # identical metric (numpy's pairwise sum diverges above 8 dims)
         loo = prefix[:, :dd] * suffix[:, 1:]
-        return loo.sum(axis=1)
+        m = np.zeros(n_, f32)
+        for k in range(dd):
+            m = m + loo[:, k]
+        return m
 
     # Greedy selection with O(live) scans: a linked list over the LIVE
     # triangle candidates replaces re-walking consumed slots, and the
@@ -541,37 +552,47 @@ def group_primitives(primitives):
     # rule are IDENTICAL to the per-item loop this replaces.
     n = len(items)
     is_tri = [isinstance(p, TrianglePrototype) for p in items]
-    nxt = list(range(1, n + 1))     # next live tri candidate >= slot+1
-    prv = list(range(-1, n - 1))
-    consumed = [False] * n
-    groups = []                      # (pivot, [chosen indices incl pivot])
 
-    def unlink(j):
-        consumed[j] = True
-        a, b = prv[j], nxt[j]
-        if a >= 0:
-            nxt[a] = b
-        if b < n:
-            prv[b] = a
+    # the selection loop lives in the native builder library when
+    # available (ntr_group_select, bit-for-bit the same decisions —
+    # pinned by tests); the Python loop below is the fallback
+    from . import native as _native
+    ng = _native.group_select(starts, ends, np.asarray(is_tri, np.uint8),
+                              WINDOW, BATCH_SIZE)
+    if ng is not None:
+        groups = ng.tolist()
+    else:
+        nxt = list(range(1, n + 1))  # next live tri candidate >= slot+1
+        prv = list(range(-1, n - 1))
+        consumed = [False] * n
+        groups = []                  # chosen indices incl pivot, per group
 
-    for pi in range(n):
-        if consumed[pi] or not is_tri[pi]:
-            continue
-        idxs = []
-        pj = nxt[pi]
-        while pj < n and len(idxs) < WINDOW:
-            if is_tri[pj]:
-                idxs.append(pj)
-            pj = nxt[pj]
-        if len(idxs) < BATCH_SIZE - 1:
-            break
-        idxs = np.asarray(idxs)
-        metrics = window_metrics(pi, idxs)
-        order = np.argsort(metrics, kind="stable")[:BATCH_SIZE - 1]
-        chosen = [pi] + idxs[order].tolist()
-        groups.append(chosen)
-        for j in chosen:
-            unlink(j)
+        def unlink(j):
+            consumed[j] = True
+            a, b = prv[j], nxt[j]
+            if a >= 0:
+                nxt[a] = b
+            if b < n:
+                prv[b] = a
+
+        for pi in range(n):
+            if consumed[pi] or not is_tri[pi]:
+                continue
+            idxs = []
+            pj = nxt[pi]
+            while pj < n and len(idxs) < WINDOW:
+                if is_tri[pj]:
+                    idxs.append(pj)
+                pj = nxt[pj]
+            if len(idxs) < BATCH_SIZE - 1:
+                break
+            idxs = np.asarray(idxs)
+            metrics = window_metrics(pi, idxs)
+            order = np.argsort(metrics, kind="stable")[:BATCH_SIZE - 1]
+            chosen = [pi] + idxs[order].tolist()
+            groups.append(chosen)
+            for j in chosen:
+                unlink(j)
 
     if not groups:
         return list(items)

@@ -74,6 +74,15 @@ def get_lib():
                                       i32p, i32p, i32p, i32p]
         lib.ntr_free.restype = None
         lib.ntr_free.argtypes = [ctypes.c_void_p]
+        try:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.ntr_group_select.restype = ctypes.c_int32
+            lib.ntr_group_select.argtypes = [
+                ctypes.c_int, ctypes.c_int, f32p, f32p, u8p,
+                ctypes.c_int, ctypes.c_int, i32p]
+            lib._has_group_select = True
+        except AttributeError:   # pre-round-4 cached .so
+            lib._has_group_select = False
         _lib = lib
         return _lib
 
@@ -84,6 +93,31 @@ def _fp(a):
 
 def _ip(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def group_select(starts, ends, is_tri, window, batch):
+    """Native greedy grouping selection (ntr_group_select): returns an
+    (G, batch) int32 array of prototype indices (pivot first) replicating
+    kdtree.group_primitives' selection loop bit-for-bit, or None when the
+    native library is unavailable (the caller keeps the Python loop)."""
+    import ctypes as _ct
+    lib = get_lib()
+    if lib is None or not getattr(lib, "_has_group_select", False):
+        return None
+    n, d = starts.shape
+    if d > 16 or n == 0:
+        return None
+    s = np.ascontiguousarray(starts, f32)
+    e = np.ascontiguousarray(ends, f32)
+    t = np.ascontiguousarray(is_tri, np.uint8)
+    out = np.empty(n, np.int32)
+    g = lib.ntr_group_select(
+        n, d, _fp(s), _fp(e),
+        t.ctypes.data_as(_ct.POINTER(_ct.c_uint8)), window, batch,
+        _ip(out))
+    if g < 0:
+        return None
+    return out[:g * batch].reshape(g, batch)
 
 
 def build_tree_native(prototypes, params, make_leaf, make_branch,

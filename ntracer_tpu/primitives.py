@@ -529,7 +529,8 @@ class TrianglePrototype(PrimitivePrototype):
         # shared source arrays: consumers that need ALL rows again (the
         # k-d batching pass) fancy-index these instead of re-stacking
         # 300k small views (group_primitives fast path)
-        src = dict(p1=p1, fn=fn, en=ens, d=dplane, pts=pts, fen=fen)
+        src = dict(p1=p1, fn=fn, en=ens, d=dplane, pts=pts, fen=fen,
+                   lo=lo, hi=hi)
         out = []
         for i in range(n):
             tri = Triangle.__new__(Triangle)

@@ -647,3 +647,52 @@ def test_triangle_prototype_batch_bitexact():
         TrianglePrototype.batch_from_points(pts3, mats[:1])
     with _pytest.raises(TypeError):
         TrianglePrototype.batch_from_points(pts3[:, :2, :], mats)
+
+
+def test_group_select_native_matches_python(monkeypatch):
+    """The native ntr_group_select must reproduce the Python grouping
+    loop's decisions bit-for-bit (same metric in the same f32 order, same
+    stable (metric, index) selection, same early exit) — the grouped
+    output lists must be identical object-for-object / array-for-array."""
+    import numpy as np
+    from ntracer_tpu import kdtree, native
+    from ntracer_tpu.primitives import (TrianglePrototype,
+                                        TriangleBatchPrototype)
+    from ntracer_tpu.render import Material
+    from ntracer_tpu.wrapper import NTracer
+
+    if native.get_lib() is None or \
+            not getattr(native.get_lib(), "_has_group_select", False):
+        pytest.skip("native library unavailable")
+
+    rng = np.random.RandomState(17)
+    mat = Material((1, 0.5, 0.5))
+    for d in (3, 4, 5):
+        pts = rng.uniform(-3, 3, (403, d, d)).astype(np.float32)
+        protos = TrianglePrototype.batch_from_points(pts, mat)
+        # plus a handful of scalar-constructed ones (mixed-source path)
+        nt = NTracer(d)
+        for _ in range(5):
+            base = rng.uniform(-2, 2, d)
+            protos.append(nt.TrianglePrototype(
+                [nt.Vector(*(base + rng.uniform(-0.5, 0.5, d)))
+                 for _ in range(d)], mat))
+
+        a = kdtree.group_primitives(list(protos))     # native path
+        monkeypatch.setattr(native, "group_select",
+                            lambda *args, **kw: None)
+        b = kdtree.group_primitives(list(protos))     # python fallback
+        monkeypatch.undo()
+
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert type(x) is type(y)
+            if isinstance(x, TriangleBatchPrototype):
+                np.testing.assert_array_equal(x._points, y._points)
+                np.testing.assert_array_equal(x.primitive._en,
+                                              y.primitive._en)
+                np.testing.assert_array_equal(x.primitive._d,
+                                              y.primitive._d)
+                assert x.primitive._materials == y.primitive._materials
+            else:
+                assert x is y
