@@ -311,7 +311,7 @@ def hull_prototypes(nt, verts, material):
         return protos
 
     hull = ConvexHull(verts)
-    protos = []
+    keep = []
     dropped = 0
     for simplex in hull.simplices:
         pts = verts[simplex]
@@ -327,11 +327,15 @@ def hull_prototypes(nt, verts, material):
         if ndim < d:
             pts = np.concatenate(
                 [pts, np.zeros((pts.shape[0], d - ndim))], axis=1)
-        protos.append(nt.TrianglePrototype(
-            [nt.Vector(p) for p in pts], material))
+        keep.append(pts)
     if dropped:
         print(f"(dropped {dropped} degenerate simplices)")
-    return protos
+    if not keep:
+        return []
+    from ntracer_tpu.primitives import TrianglePrototype
+    # vectorized construction (fields bit-identical to the scalar ctor)
+    return TrianglePrototype.batch_from_points(
+        np.asarray(keep, dtype=np.float32), material)
 
 
 # ---------------------------------------------------------------------------
