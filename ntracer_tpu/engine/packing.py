@@ -37,15 +37,24 @@ def format_key(fmt: ImageFormat):
             fmt.bytes_per_pixel, bool(fmt.reversed))
 
 
-def _pack_words(colors, key):
+def _pack_words(colors, key, colors_T=False):
     """Shared channel math: (R, 3) float32 -> list of (R,) uint32 words
     holding each pixel's packed bits MSB-first (the TPU has no 64-bit
     integers by default; the MSB-first byte stream across words equals
-    the reference's 64-bit-word layout, render.cpp:419-462)."""
+    the reference's 64-bit-word layout, render.cpp:419-462).
+
+    ``colors_T=True`` accepts (3, R) — channel rows are contiguous lane
+    vectors, skipping the relayout the column slices of an (R, 3) array
+    cost on TPU (the transposed shade pipeline produces this shape)."""
     channels, bpp, reverse = key
-    r, g, b = colors[:, 0], colors[:, 1], colors[:, 2]
+    if colors_T:
+        r, g, b = colors[0], colors[1], colors[2]
+        n = colors.shape[1]
+    else:
+        r, g, b = colors[:, 0], colors[:, 1], colors[:, 2]
+        n = colors.shape[0]
     n_words = (bpp + 3) // 4
-    words = [jnp.zeros(colors.shape[0], jnp.uint32) for _ in range(n_words)]
+    words = [jnp.zeros(n, jnp.uint32) for _ in range(n_words)]
 
     off = 0
     for bit_size, f_r, f_g, f_b, f_c, tfloat in channels:
@@ -101,8 +110,8 @@ def pack_device(colors, key):
     return jnp.stack(out, axis=1)
 
 
-@partial(jax.jit, static_argnames=("key", "permute"))
-def pack_device_stream(colors, key, permute=None):
+@partial(jax.jit, static_argnames=("key", "permute", "colors_T"))
+def pack_device_stream(colors, key, permute=None, colors_T=False):
     """Device-side packing to a dense uint32 stream: (R, 3) float32 ->
     (R//4, bpp) uint32 whose little-endian byte stream is identical to
     ``pack_device``'s (R, bpp) uint8 output (groups of 4 pixels = bpp
@@ -117,9 +126,9 @@ def pack_device_stream(colors, key, permute=None):
     relayout to an (R, ~1) u32 one — bit-identical output because the
     word pack is per-pixel."""
     channels, bpp, reverse = key
-    R = colors.shape[0]
+    R = colors.shape[1] if colors_T else colors.shape[0]
     assert R % 4 == 0, "pack_device_stream needs a multiple of 4 pixels"
-    words = _pack_words(colors, key)
+    words = _pack_words(colors, key, colors_T=colors_T)
     if permute is not None:
         words = [permute(w[:, None])[:, 0] for w in words]
     wr = [w.reshape(-1, 4) for w in words]  # (R//4, 4 px per group)

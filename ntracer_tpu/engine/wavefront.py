@@ -230,7 +230,7 @@ def primary_ctx(arrs, cfg, origin):
 
 
 def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
-               active=None, stats=None, pctx=None):
+               active=None, stats=None, pctx=None, transposed=False):
     """Nearest-opaque + top-K transparent trace over the triangle pool and
     solids.  Returns a dict of per-ray results.
 
@@ -306,6 +306,29 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         # SLOWER (+11.7 ms: its one-hot extraction runs per chunk visit
         # — scripts/stage_split.py); NTRACER_PAYLOAD=1 selects it for
         # hardware A/Bs.
+        if transposed:
+            # transposed finish: gather + hit geometry on (k, R) tensors
+            # (same values; see the transposed-pipeline block above).
+            # Callers guarantee K == 0, no solids, no prim sharding.
+            assert K == 0 and cfg.n_solids == 0 and cfg.prim_axis is None
+            kt, slot, vis = nearest(res_k, o, dirs, skip_local, d,
+                                    order=order, dmin=dmin, active=active,
+                                    sh=sh, raw_slot=True)
+            _stat(stats, "rays_traced",
+                  R if active is None else jnp.sum(active.astype(jnp.int32)))
+            _stat(stats, "chunks_visited", jnp.sum(vis))
+            rowT = arrs["res_slot_pack"].T[:, jnp.clip(slot, 0, None)]
+            gidl = rowT[d + 1].astype(jnp.int32)
+            t = jnp.where(slot >= 0, kt, REAL_MAX)
+            pid = jnp.where(slot >= 0, gidl + arrs["tri_base"], -1)
+            dirsT = dirs.T
+            pointT = o.T + t[None, :] * dirsT
+            fnT = rowT[:d]
+            denom = _dotT(fnT, dirsT)
+            normalT = _unitT(fnT) * jnp.where(denom > 0, -1.0, 1.0)[None, :]
+            return dict(t=t, pid=pid, hit=pid >= 0, pointT=pointT,
+                        normalT=normalT, mat=rowT[d].astype(jnp.int32))
+
         import os as _os
         use_pay = bool(_os.environ.get("NTRACER_PAYLOAD")) \
             or "res_slot_pack" not in arrs
@@ -858,6 +881,166 @@ def shade_local(arrs, cfg: SceneConfig, dirs, point, normal, pid, mi, depth,
     return local, child_coef, child_dir
 
 
+# ---------------------------------------------------------------------------
+# Transposed (k, R) post-trace pipeline
+#
+# XLA lowers the row-layout (R, k) shade chain 5-12x above the bandwidth
+# estimate on this hardware (BASELINE.md stage table), while the identical
+# math over (k, R) tensors — R on the lane axis — runs at ~bandwidth: the
+# full transposed gather+finish+shade+compose probe measured ~0.4 ms where
+# the row pipeline costs ~11 ms (scripts/stage_split.py pool3_transposed).
+# Every function below is the faithful transpose of its row twin: the same
+# f32 operations applied per element in the same order, so values are
+# unchanged.  Used for kernel-path scenes without transparency, solids, or
+# prim sharding (the flagship / mesh / lit configs); NTRACER_NO_TRANSPOSED=1
+# forces the row path for A/Bs.
+# ---------------------------------------------------------------------------
+
+
+def _dotT(a, b):
+    return jnp.sum(a * b, axis=0)
+
+
+def _unitT(v):
+    return v / jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+
+
+def background_T(cfg, dyn, dirsT):
+    """Transpose of ``background``: (d, R) -> (3, R)."""
+    intensity = dirsT[cfg.bg_axis]
+    pos = (dyn["bg1"][:, None] * intensity[None, :]
+           + dyn["bg2"][:, None] * (1 - intensity)[None, :])
+    neg = (dyn["bg3"][:, None] * (-intensity)[None, :]
+           + dyn["bg2"][:, None] * (1 + intensity)[None, :])
+    return jnp.where((intensity >= 0)[None, :], pos, neg)
+
+
+def aabb_distance_T(cfg, arrs, oT, dirsT):
+    """Transpose of ``aabb_distance``: (d, R) inputs -> (R,)."""
+    d = cfg.d
+    bs, be = arrs["bound_start"], arrs["bound_end"]
+    R = oT.shape[1]
+    result = jnp.full((R,), -1.0, dtype=f32)
+    found = jnp.zeros((R,), dtype=bool)
+    for i in range(d):
+        oo = jnp.where(dirsT[i] > 0, bs[i], be[i])
+        dist = (oo - oT[i]) / dirsT[i]
+        neg = dist < 0
+        dist_eff = jnp.where(neg, 0.0, dist)
+        ok = dirsT[i] != 0
+        for j in range(d):
+            v = dirsT[j] * dist_eff + oT[j]
+            inside = (v < be[j]) & (v > bs[j])
+            ok &= jnp.where((j == i) & ~neg, True, inside)
+        take = ok & ~found
+        result = jnp.where(take, dist_eff, result)
+        found |= ok
+    return result
+
+
+def shade_local_T(arrs, cfg: SceneConfig, dirsT, pointT, normalT, pid, mi,
+                  depth, dyn, active=None, stats=None):
+    """Transpose of ``shade_local``: (d, R) geometry -> (3, R) colors,
+    (3, R) child coefficients, (d, R) child directions.  Occlusion queries
+    cross back to row layout at the kernel boundary (cheap transposes)."""
+    R = dirsT.shape[1]
+    if "mat_pack" in arrs:
+        rowT = arrs["mat_pack"].T[:, mi]
+        mc = rowT[0:3]
+        mspec = rowT[3:6]
+        refl = rowT[7]
+        spec_int = rowT[8]
+        spec_exp = rowT[9]
+    else:
+        mc = arrs["mat_color"][mi].T
+        mspec = arrs["mat_specular"][mi].T
+        spec_int = arrs["mat_spec_int"][mi]
+        spec_exp = arrs["mat_spec_exp"][mi]
+        refl = arrs["mat_refl"][mi]
+
+    light = jnp.zeros((3, R), f32)
+    specular = jnp.zeros((3, R), f32)
+    spec_a = jnp.zeros((R,), f32)
+
+    def add_specular(specular, spec_a, filteredT, light_dirT, mask):
+        mask = mask & (spec_int != 0)
+        h = _unitT(light_dirT - dirsT)
+        base = _powf(_dotT(normalT, h), spec_exp) * spec_int
+        new_s = specular + mspec * filteredT * (base * (1 - spec_a))[None, :]
+        new_a = spec_a + base * (1 - spec_a)
+        new_s = new_s * new_a[None, :]
+        specular = jnp.where(mask[None, :], new_s, specular)
+        spec_a = jnp.where(mask, new_a, spec_a)
+        return specular, spec_a
+
+    for li in range(cfg.n_point_lights):
+        plp = arrs["pl_pos"][li]
+        plc = arrs["pl_color"][li]
+        lv = pointT - plp[:, None]
+        dist = jnp.sqrt(_dotT(lv, lv))
+        lv = lv / dist[None, :]
+        sine = _dotT(normalT, lv)
+        strength = 1.0 / jnp.power(dist, cfg.d - 1)
+        if cfg.shadows:
+            want = (sine > 0) & (jnp.max(plc) * strength * sine
+                                 > LIGHT_THRESHOLD)
+            if active is not None:
+                want &= active
+            blocked, filt = occlusion(arrs, cfg, pointT.T, lv.T,
+                                      jnp.where(want, dist, 0.0), pid,
+                                      stats=stats, clamp_exit=False)
+            ok = want & ~blocked
+            filteredT = plc[:, None] * filt[None, :] * strength[None, :]
+            light += jnp.where(ok[None, :], filteredT * sine[None, :], 0.0)
+            specular, spec_a = add_specular(specular, spec_a, filteredT,
+                                            lv, ok)
+        else:
+            contrib = plc[:, None] * (strength * sine)[None, :]
+            light += jnp.where((sine > 0)[None, :], contrib, 0.0)
+
+    for gi in range(cfg.n_global_lights):
+        gld = arrs["gl_dir"][gi]
+        glc = arrs["gl_color"][gi]
+        sine = -_dotT(normalT, gld[:, None])
+        if cfg.shadows:
+            want = sine > 0
+            if active is not None:
+                want &= active
+            ldT = jnp.broadcast_to(-gld[:, None], pointT.shape)
+            blocked, filt = occlusion(
+                arrs, cfg, pointT.T, ldT.T,
+                jnp.where(want, REAL_MAX, 0.0), pid, stats=stats)
+            ok = want & ~blocked
+            filteredT = glc[:, None] * filt[None, :]
+            light += jnp.where(ok[None, :], filteredT * sine[None, :], 0.0)
+            specular, spec_a = add_specular(specular, spec_a, filteredT,
+                                            ldT, ok)
+        else:
+            light += jnp.where((sine > 0)[None, :],
+                               glc[:, None] * sine[None, :], 0.0)
+
+    sine = -_dotT(dirsT, normalT)
+    if cfg.camera_light:
+        cl = jnp.maximum(sine, 0.0)
+        light += cl[None, :]
+        mask = (sine > 0) & (spec_int != 0)
+        base = jnp.power(jnp.maximum(sine, 0.0), spec_exp) * spec_int
+        new_s = specular + mspec * (base * (1 - spec_a))[None, :]
+        new_a = spec_a + base * (1 - spec_a)
+        new_s = new_s * new_a[None, :]
+        specular = jnp.where(mask[None, :], new_s, specular)
+        spec_a = jnp.where(mask, new_a, spec_a)
+
+    r0 = dyn["ambient"][:, None] + mc * light
+
+    refl_on = (refl != 0) & (depth < cfg.max_reflect_depth)
+    refl_eff = jnp.where(refl_on, refl, 0.0)
+    local = specular + ((1 - spec_a) * (1 - refl_eff))[None, :] * r0
+    child_coef = ((1 - spec_a) * refl_eff)[None, :] * mc
+    child_dir = dirsT - normalT * (-2 * sine)[None, :]
+    return local, child_coef, child_dir
+
+
 def background(cfg, dyn, dirs):
     """tracer.hpp:1866-1867."""
     intensity = dirs[:, cfg.bg_axis]
@@ -896,6 +1079,74 @@ def aabb_distance(cfg, arrs, o, dirs):
 # Full per-tile ray color with bounce loop
 # ---------------------------------------------------------------------------
 
+def _ray_colors_T(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats, pctx,
+                  want_T=False):
+    """Transposed bounce loop (same math as ray_colors; see the
+    transposed-pipeline block).  Returns (R, 3) colors, or (3, R) when
+    ``want_T`` (the device packer consumes channel rows directly)."""
+    R = o.shape[0]
+    out = jnp.zeros((3, R), f32)
+    weight = jnp.ones((3, R), f32)
+    active = jnp.ones((R,), bool)
+    skip = jnp.full((R,), -1, jnp.int32)
+    stats = {} if with_stats else None
+
+    max_bounces = cfg.max_reflect_depth if cfg.has_reflectivity else 0
+
+    for depth in range(max_bounces + 1):
+        if stats is not None and depth > 0:
+            from . import resident_kernels as _rk
+            rb = min(_rk.RAY_BLOCK, R)
+            a32 = active.astype(jnp.int32)
+            _stat(stats, f"bounce_live_rays_d{depth}", jnp.sum(a32))
+            blk = jnp.max(a32.reshape(R // rb, rb), axis=1) if R % rb == 0 \
+                else jnp.ones((1,), jnp.int32)
+            _stat(stats, f"bounce_live_blocks_d{depth}", jnp.sum(blk))
+        res = trace_pool(arrs, cfg, o, dirs, skip,
+                         shared_origin=o[0] if depth == 0 else None,
+                         active=None if depth == 0 else active,
+                         stats=stats, pctx=pctx if depth == 0 else None,
+                         transposed=True)
+        oT = o.T
+        dirsT = dirs.T
+        dist = aabb_distance_T(cfg, arrs, oT, dirsT)
+        hit = res["hit"] & (dist >= 0)
+        live = hit if depth == 0 else (hit & active)
+
+        localT, child_coefT, child_dirT = shade_local_T(
+            arrs, cfg, dirsT, res["pointT"], res["normalT"], res["pid"],
+            res["mat"], depth, dyn, active=live, stats=stats)
+        bgT = background_T(cfg, dyn, dirsT)
+        color_hereT = jnp.where(hit[None, :], localT, bgT)
+
+        out += jnp.where(active[None, :], weight * color_hereT, 0.0)
+
+        if depth == max_bounces:
+            break
+        weight = weight * child_coefT
+        active = active & hit & jnp.any(child_coefT > 0, axis=0)
+        o = res["pointT"].T
+        dirs = _unitT(child_dirT).T
+        skip = res["pid"]
+
+    outR = out if want_T else out.T
+    if with_stats:
+        return outR, {k: jnp.asarray(v) for k, v in stats.items()}
+    return outR
+
+
+def _transposed_ok(arrs, cfg, R):
+    """The transposed pipeline serves kernel-path scenes without
+    transparency, solids, or prim sharding (flagship / mesh / lit);
+    NTRACER_NO_TRANSPOSED=1 forces the row path for A/Bs."""
+    import os as _os
+    return (not cfg.has_transparency and cfg.n_solids == 0
+            and cfg.prim_axis is None and "res_slot_pack" in arrs
+            and (_kernel2_ok(arrs, cfg, R) or _kernel2h_ok(arrs, cfg, R))
+            and not _os.environ.get("NTRACER_PAYLOAD")
+            and not _os.environ.get("NTRACER_NO_TRANSPOSED"))
+
+
 def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False,
                pctx=None):
     """Color of R rays (ray_color, tracer.hpp:1856-1883) with reflections
@@ -906,6 +1157,10 @@ def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False,
     the reference's PROFILE_CODE timers, instrumentation.hpp:4-53).
     ``pctx`` is the frame-level primary-trace context (primary_ctx)."""
     R = o.shape[0]
+    if _transposed_ok(arrs, cfg, R):
+        return _ray_colors_T(arrs, cfg, dyn, o, dirs, with_stats, pctx)
+
+
     out = jnp.zeros((R, 3), f32)
     weight = jnp.ones((R, 3), f32)
     active = jnp.ones((R,), bool)
@@ -963,6 +1218,18 @@ def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False,
     if with_stats:
         return out, {k: jnp.asarray(v) for k, v in stats.items()}
     return out
+
+
+def ray_colors_packable(arrs, cfg, dyn, o, dirs, pctx=None):
+    """ray_colors variant for the packed frame path: returns
+    (colors, is_T) where colors is (3, R) with is_T=True on the
+    transposed pipeline (the packer reads channel rows directly —
+    no final transpose) and (R, 3) otherwise."""
+    R = o.shape[0]
+    if _transposed_ok(arrs, cfg, R):
+        return _ray_colors_T(arrs, cfg, dyn, o, dirs, False, pctx,
+                             want_T=True), True
+    return ray_colors(arrs, cfg, dyn, o, dirs, pctx=pctx), False
 
 
 def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
@@ -1076,17 +1343,21 @@ def _frame_packed_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
     def group(start):
         xs, ys, swz = _ray_coords(start, w, count)
         o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h, xs, ys)
-        colors = ray_colors(arrs, cfg, dyn, o, dirs, pctx=pctx)
+        colors, is_T = ray_colors_packable(arrs, cfg, dyn, o, dirs,
+                                           pctx=pctx)
         # key=None: wide-channel format — ship raw floats; pull_packed
         # packs them on the host with exact 64-bit math.  Otherwise pack
         # to a dense uint32 stream (the host views it as bytes) — same
         # bitstream as pack_device without the u8 relayout.  The tile
         # unswizzle permutes the packed per-pixel u32 words, not the
         # (R, 3) float colors — bit-identical (verified in-program on
-        # hardware) and ~4 ms/frame cheaper at 1024² (stage_split.py).
+        # hardware); the transposed pipeline hands the packer (3, R)
+        # channel rows directly (no final transpose).
         if key is None:
+            colors = colors.T if is_T else colors
             return colors if swz is None else swz(colors)
-        return packing.pack_device_stream(colors, key, permute=swz)
+        return packing.pack_device_stream(colors, key, permute=swz,
+                                          colors_T=is_T)
 
     n_groups = n_tiles // group_tiles
     if n_groups == 1:

@@ -313,12 +313,15 @@ def build_packed_renderer(scene, mesh: Mesh, width, per_shard, key):
             xs, ys, swz = wavefront._ray_coords(g0, width, count)
             o, dirs = make_rays(cam_origin, cam_t, fovI, half_w, half_h,
                                 xs, ys)
-            colors = ray_colors(arrs_l, cfg, dyn, o, dirs, pctx=pctx)
+            colors, is_T = wavefront.ray_colors_packable(
+                arrs_l, cfg, dyn, o, dirs, pctx=pctx)
             # key=None: wide-channel format — the caller packs raw floats
             # on the host (wavefront._needs_host_pack)
             if key is None:
+                colors = colors.T if is_T else colors
                 return colors if swz is None else swz(colors)
-            return packing.pack_device_stream(colors, key, permute=swz)
+            return packing.pack_device_stream(colors, key, permute=swz,
+                                              colors_T=is_T)
 
         return _run_groups(group, base, n_groups, count)
 

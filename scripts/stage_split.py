@@ -142,6 +142,50 @@ def main():
             jnp.int32(0), W, n_tiles, None)
 
     @jax.jit
+    def pool3_transposed():
+        # EXPERIMENT: same math as pool3 but all post-trace elementwise
+        # work on (k, R) transposed tensors (R on the lane axis)
+        xs, ys, _ = wavefront._ray_coords(jnp.int32(0), W, count=W * H)
+        o, dirs = wavefront.make_rays(cam_o, cam_t, fovI, half_w, half_h,
+                                      xs, ys)
+        skip = jnp.full((W * H,), -1, jnp.int32)
+        t, slot, vis = rk.nearest_hit(res, o, dirs, skip, cfg.d,
+                                      raw_slot=True, **kw)
+        spT = jnp.asarray(device["res_slot_pack"]).T     # (d+2, NS)
+        rowT = spT[:, jnp.clip(slot, 0, None)]           # (d+2, R)
+        dT = dirs.T                                      # (d, R)
+        fnT = rowT[:cfg.d]
+        mi = rowT[cfg.d].astype(jnp.int32)
+        hit = slot >= 0
+        # view-facing unit normal
+        denom = jnp.sum(fnT * dT, axis=0)
+        nrm = jnp.sqrt(jnp.sum(fnT * fnT, axis=0))
+        nT = fnT / nrm[None, :] * jnp.where(denom > 0, -1.0, 1.0)[None, :]
+        sine = -jnp.sum(dT * nT, axis=0)
+        row10 = jnp.asarray(device["mat_pack"]).T[:, mi] \
+            if "mat_pack" in device else None
+        mcT = row10[0:3]
+        mspecT = row10[3:6]
+        spec_int = row10[8]
+        spec_exp = row10[9]
+        cl = jnp.maximum(sine, 0.0)
+        base = jnp.power(cl, spec_exp) * spec_int
+        mask = (sine > 0) & (spec_int != 0)
+        spec = jnp.where(mask[None, :], mspecT * base[None, :], 0.0)
+        spec_a = jnp.where(mask, base, 0.0)
+        r0 = mcT * cl[None, :]
+        localT = spec + (1 - spec_a)[None, :] * r0
+        inten = dT[cfg.bg_axis]
+        bg1 = dyn["bg1"][:, None]
+        bg2 = dyn["bg2"][:, None]
+        bg3 = dyn["bg3"][:, None]
+        bgT = jnp.where(inten[None, :] >= 0,
+                        bg1 * inten[None, :] + bg2 * (1 - inten)[None, :],
+                        bg3 * (-inten)[None, :] + bg2 * (1 + inten)[None, :])
+        out = jnp.where(hit[None, :], localT, bgT)
+        return out[0]
+
+    @jax.jit
     def frame_pack_after():
         # EXPERIMENT: permute packed per-pixel u32 words instead of the
         # (R, 3) float colors (bit-identical stream)
@@ -162,6 +206,7 @@ def main():
         ("pool1_finish", make_pool_stage(1)),
         ("pool2_aabb", make_pool_stage(2)),
         ("pool3_shade", make_pool_stage(3)),
+        ("pool3_transposed", pool3_transposed),
         ("frame_unpacked", frame_unpacked),
         ("frame", frame),
         ("frame_pack_after", frame_pack_after),

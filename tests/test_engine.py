@@ -761,3 +761,53 @@ def test_prim_sharded_renderer_uses_collectives(monkeypatch):
                  ("all-gather", "all-reduce", "collective-permute",
                   "all-to-all", "reduce-scatter"))
     assert n_coll > 0, "prim sharding needs a cross-shard winner reduction"
+
+
+@pytest.mark.parametrize("variant", ["camera", "shadows", "reflective"])
+def test_transposed_pipeline_matches_row_and_oracle(variant, monkeypatch):
+    """The transposed (k, R) post-trace pipeline (round 4: XLA lowers the
+    row-layout shade chain ~10x above bandwidth; the transposed twin runs
+    at ~bandwidth) must agree with BOTH the scalar oracle and the row
+    pipeline on kernel-path scenes, across camera-light, lit+shadowed,
+    and reflective configurations."""
+    import numpy as np
+    from ntracer_tpu.engine import wavefront
+
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    nt = NTracer(3)
+    if variant == "camera":
+        scene = _random_scene(nt, n=600, seed=31)
+    elif variant == "shadows":
+        scene = _random_scene(
+            nt, n=600, seed=32,
+            lights=[nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)),
+                    nt.GlobalLight(nt.Vector(0, -1, 0), (0.3, 0.3, 0.3))])
+        scene.set_shadows(True)
+    else:
+        scene = _random_scene(nt, n=600, seed=33,
+                              mat=Material((1, 0.6, 0.4), reflectivity=0.5))
+
+    w = h = 32
+    cfg, device, _ = wavefront.get_device_scene(scene)
+    assert wavefront._transposed_ok(device, cfg, w * h), \
+        "scene must qualify for the transposed pipeline"
+
+    # the oracle defaults to the reference's occlusion early-out DEFECT
+    # (PARITY.md defect list); the engine deliberately uses true any-hit,
+    # so compare against exact semantics like scripts/tpu_parity.py does
+    from ntracer_tpu import kdnodes
+    monkeypatch.setattr(kdnodes, "OCCLUDES_EARLY_OUT", False)
+
+    # transposed path vs the scalar oracle (sampled)
+    eng_t = np.asarray(_compare_sampled(scene, w=w, h=h, samples=30))
+
+    # row path on the same scene (retrace with the kill switch set)
+    monkeypatch.setenv("NTRACER_NO_TRANSPOSED", "1")
+    wavefront._render_tile_composite.clear_cache()
+    try:
+        eng_row = np.asarray(
+            wavefront.render_strip_composite(scene, _Fmt(w, h), 0, h))
+    finally:
+        monkeypatch.delenv("NTRACER_NO_TRANSPOSED")
+        wavefront._render_tile_composite.clear_cache()
+    np.testing.assert_allclose(eng_t, eng_row, atol=2e-5)
