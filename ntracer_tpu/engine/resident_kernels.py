@@ -53,7 +53,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 f32 = jnp.float32
 
-RAY_BLOCK = 512
+def _env_ray_block():
+    """Rays per walk block (one kernel grid step walks one block).
+    Default 512 (a 32x16-px tile).  NTRACER_RAY_BLOCK overrides for
+    hardware sweeps — walk_sim models ~8% trace win at 1024 (pair work
+    +4.6%, visits halve, per-visit fixed cost amortizes); must divide
+    the 32768-ray dispatch tile and be a multiple of the 32-px tile
+    width."""
+    import os
+    v = os.environ.get("NTRACER_RAY_BLOCK")
+    if not v:
+        return 512
+    try:
+        rb = int(v)
+    except ValueError:
+        import warnings
+        warnings.warn(f"NTRACER_RAY_BLOCK={v!r} is not an integer; "
+                      "using 512")
+        return 512
+    if rb < 256 or rb > 4096 or 32768 % rb or rb % 32:
+        import warnings
+        warnings.warn(f"NTRACER_RAY_BLOCK={rb} unsupported (need a "
+                      "divisor of 32768, multiple of 32, in [256, 4096])"
+                      "; using 512")
+        return 512
+    return rb
+
+
+RAY_BLOCK = _env_ray_block()
 CK = 128          # triangles per chunk (lane dimension), default
 C_PAD = 8         # coordinate rows padded to the f32 sublane tile
 

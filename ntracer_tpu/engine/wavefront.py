@@ -1263,7 +1263,11 @@ def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,
 # ---------------------------------------------------------------------------
 
 
-TILE_W, TILE_H = 32, 16  # ray-block footprint: one 512-ray block = 32x16 px
+# ray-block footprint: one walk block covers a 32-px-wide tile (512 rays
+# = 32x16 px by default; NTRACER_RAY_BLOCK scales the tile height)
+from . import resident_kernels as _rk_const
+TILE_W = 32
+TILE_H = _rk_const.RAY_BLOCK // TILE_W
 MAX_GROUP_TILES = 64     # rays per fused dispatch <= 64*TILE = 2M (memory)
 
 
