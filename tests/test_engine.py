@@ -811,3 +811,33 @@ def test_transposed_pipeline_matches_row_and_oracle(variant, monkeypatch):
         monkeypatch.delenv("NTRACER_NO_TRANSPOSED")
         wavefront._render_tile_composite.clear_cache()
     np.testing.assert_allclose(eng_t, eng_row, atol=2e-5)
+
+
+def test_transposed_lights_no_shadows_matches_oracle(monkeypatch):
+    """Lights with shadows OFF take the else-arms of the transposed light
+    loops (no occlusion queries, unmasked contributions) — compare
+    against the oracle and the row path like the shadowed variant."""
+    import numpy as np
+    from ntracer_tpu.engine import wavefront
+
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    nt = NTracer(3)
+    scene = _random_scene(
+        nt, n=600, seed=34,
+        lights=[nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)),
+                nt.GlobalLight(nt.Vector(0, -1, 0), (0.3, 0.3, 0.3))])
+    assert not scene.shadows
+    w = h = 32
+    cfg, device, _ = wavefront.get_device_scene(scene)
+    assert wavefront._transposed_ok(device, cfg, w * h)
+    eng_t = np.asarray(_compare_sampled(scene, w=w, h=h, samples=30))
+
+    monkeypatch.setenv("NTRACER_NO_TRANSPOSED", "1")
+    wavefront._render_tile_composite.clear_cache()
+    try:
+        eng_row = np.asarray(
+            wavefront.render_strip_composite(scene, _Fmt(w, h), 0, h))
+    finally:
+        monkeypatch.delenv("NTRACER_NO_TRANSPOSED")
+        wavefront._render_tile_composite.clear_cache()
+    np.testing.assert_allclose(eng_t, eng_row, atol=2e-5)
