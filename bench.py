@@ -85,8 +85,14 @@ def measure_reference():
 
 
 def main():
-    parity_mism, parity_ok = run_tpu_parity()
-    ref_sec = measure_reference()
+    if os.environ.get("NTRACER_BENCH_FAST"):
+        # dev-iteration mode: skip the parity gate + reference rebuild
+        # (the driver's end-of-round run uses the full default path)
+        parity_mism, parity_ok = -1, False
+        ref_sec = None
+    else:
+        parity_mism, parity_ok = run_tpu_parity()
+        ref_sec = measure_reference()
     baseline_source = "same-window" if ref_sec else "stored-round1"
     if ref_sec is None:
         ref_sec = REF_SEC_PER_FRAME_STORED
@@ -161,8 +167,13 @@ def main():
         sync(last)
         dev_sec = min(dev_sec, (time.perf_counter() - t0) / FRAMES)
 
-    # per-stage counters, one frame (instrumentation.hpp analogue)
-    counters = wavefront.frame_stats(scene, W, H)
+    # per-stage counters, one frame (instrumentation.hpp analogue).
+    # The camera sits at an orbit position here (the orbit loop advanced
+    # it), so these are ORBIT counters; the axis-view counters are taken
+    # below after the camera reset.  Recording both attributes the
+    # orbit/fixed-view spread (extra chunk visits at oblique views).
+    orbit_counters = wavefront.frame_stats(scene, W, H)
+    orbit_cam = (jnp.asarray(scene._cam._origin), jnp.asarray(scene._cam._t))
 
     # trace vs non-trace split, same window (VERDICT-r3 #1 breakdown):
     # time the walk kernel alone on the full primary wavefront, compare
@@ -175,39 +186,68 @@ def main():
     camera.translate(nt.Vector.axis(2, cam_distance))
     scene.set_camera(camera)
     cfg, device, _flat = wavefront.get_device_scene(scene)
+    counters = wavefront.frame_stats(scene, W, H)   # axis view
     trace_ms = None
     frame_fixed_ms = None
     rtt_ms = None
+    stage_ms = None
+    orbit_trace_ms = None
     if "res_gt" in device:
         res = wavefront._res_dict(device)
         scene._set_view_size(W, H)
         fovp = wavefront._fov_params(W, H, scene.fov)
         xs, ys, _swz = wavefront._ray_coords(jnp.int32(0), W, count=W * H)
-        o, dirs = wavefront.make_rays(
-            jnp.asarray(scene._cam._origin), jnp.asarray(scene._cam._t),
-            fovp[0], fovp[1], fovp[2], xs, ys)
-        skip = jnp.full((W * H,), -1, jnp.int32)
-        pctx = wavefront.primary_ctx(device, cfg, o[0])
         nearest = rk.nearest_hit_hbm if "res_is_hbm" in device \
             else rk.nearest_hit
 
         import jax
 
+        def make_trace(cam_origin, cam_t):
+            """Walk-only program at a given camera (production path:
+            raw slot; pctx computed inside the jit like the frame)."""
+            @jax.jit
+            def trace_only():
+                o, dirs = wavefront.make_rays(
+                    cam_origin, cam_t, fovp[0], fovp[1], fovp[2], xs, ys)
+                skip = jnp.full((W * H,), -1, jnp.int32)
+                pctx = wavefront.primary_ctx(device, cfg, cam_origin)
+                t, slot, vis = nearest(
+                    res, o, dirs, skip, cfg.d, raw_slot=True,
+                    order=pctx["order"], dmin=pctx["dmin"],
+                    sh=pctx["sh_res"])
+                return t + slot
+            return trace_only
+
+        axis_cam = (jnp.asarray(scene._cam._origin),
+                    jnp.asarray(scene._cam._t))
+        trace_only = make_trace(*axis_cam)
+        orbit_trace = make_trace(*orbit_cam)
+
         @jax.jit
-        def trace_only():
-            # pure walk (production path: raw slot; the 3.2 ms slot-pack
-            # recovery gather is counted in non_trace — stage_split.py)
-            t, slot, vis = nearest(
-                res, o, dirs, skip, cfg.d, raw_slot=True,
-                order=pctx["order"], dmin=pctx["dmin"], sh=pctx["sh_res"])
-            return t + slot
+        def raygen_only():
+            o, dirs = wavefront.make_rays(
+                axis_cam[0], axis_cam[1], fovp[0], fovp[1], fovp[2],
+                xs, ys)
+            return o + dirs
+
+        n_tiles = -(-(W * H) // wavefront.TILE)
+        from ntracer_tpu.engine import packing as _packing
+        fkey = _packing.format_key(fmt)
+        dyn = wavefront._scene_dyn(scene)
+
+        def frame_unpacked():
+            # full shading pipeline, raw float colors (no device packing)
+            return wavefront._frame_packed_composite(
+                device, cfg, dyn, axis_cam[0], axis_cam[1], fovp,
+                jnp.int32(0), W, n_tiles, None)
 
         @jax.jit
         def noop():
             return jnp.zeros((64,), jnp.float32)
 
-        sync(trace_only())  # compile
-        sync(noop())
+        for f in (trace_only, orbit_trace, raygen_only, frame_unpacked,
+                  noop):
+            sync(f())  # compile
 
         def timed_batch(f, n=4):
             # queue n dispatches, then one sync: the tunnel RTT (and its
@@ -221,19 +261,32 @@ def main():
             sync(last)
             return (time.perf_counter() - t0) / n
 
-        trace_ms = float("inf")
-        frame_fixed_ms = float("inf")
-        rtt_ms = float("inf")
+        best = {}
+        probes = [("noop", noop), ("raygen", raygen_only),
+                  ("trace", trace_only), ("orbit_trace", orbit_trace),
+                  ("frame_unpacked", frame_unpacked),
+                  ("frame", lambda: wavefront.frame_device_arrays(scene,
+                                                                  fmt))]
         for _ in range(3):
-            rtt_ms = min(rtt_ms, timed_batch(noop))
-            trace_ms = min(trace_ms, timed_batch(trace_only))
-            frame_fixed_ms = min(
-                frame_fixed_ms,
-                timed_batch(lambda: wavefront.frame_device_arrays(scene,
-                                                                  fmt)))
-        trace_ms = round((trace_ms - rtt_ms) * 1000, 2)
-        frame_fixed_ms = round((frame_fixed_ms - rtt_ms) * 1000, 2)
-        rtt_ms = round(rtt_ms * 1000, 2)
+            for name, f in probes:
+                best[name] = min(best.get(name, float("inf")),
+                                 timed_batch(f))
+        rtt = best["noop"]
+        ms = {k: round((v - rtt) * 1000, 2) for k, v in best.items()
+              if k != "noop"}
+        rtt_ms = round(rtt * 1000, 2)
+        trace_ms = ms["trace"]
+        orbit_trace_ms = ms["orbit_trace"]
+        frame_fixed_ms = ms["frame"]
+        # named glue stages (VERDICT-r4 #1): the artifact itself carries
+        # the per-stage split every round, not a one-window note
+        stage_ms = {
+            "raygen": ms["raygen"],
+            "walk": round(ms["trace"] - ms["raygen"], 2),
+            "gather_finish_shade": round(ms["frame_unpacked"]
+                                         - ms["trace"], 2),
+            "device_pack": round(ms["frame"] - ms["frame_unpacked"], 2),
+        }
 
     print(json.dumps({
         "metric": "120-cell 4D @1024^2 primary rays",
@@ -264,8 +317,29 @@ def main():
         else None,
         "non_trace_ms": round(frame_fixed_ms - trace_ms, 2)
         if trace_ms is not None else None,
+        # named glue stages + the same walk at an orbit view: the
+        # orbit/fixed spread decomposes into extra oblique-view chunk
+        # visits (compare counters vs orbit_counters) every round
+        "stage_ms": stage_ms,
+        "orbit_trace_ms": orbit_trace_ms,
+        # per-chip pair-test roofline (VERDICT-r4 #6): visits x
+        # RAY_BLOCK x CK pair tests over the walk time, so per-visit
+        # regressions are caught by the artifact
+        "pair_tests_per_s": _pair_rate(counters, trace_ms),
+        "orbit_pair_tests_per_s": _pair_rate(orbit_counters,
+                                             orbit_trace_ms),
         "counters": counters,
+        "orbit_counters": orbit_counters,
     }))
+
+
+def _pair_rate(counters, walk_ms):
+    """visits x RAY_BLOCK x CK pair tests per second of walk time."""
+    if not walk_ms or not counters.get("chunks_visited"):
+        return None
+    from ntracer_tpu.engine import resident_kernels as rk
+    pairs = counters["chunks_visited"] * rk.RAY_BLOCK * rk.CK
+    return round(pairs / (walk_ms / 1000) / 1e9, 3)  # Gpairs/s
 
 
 if __name__ == "__main__":

@@ -1517,9 +1517,9 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
                          memory_space=pltpu.VMEM),      # klo_t (order space)
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # khi_t
-            pl.BlockSpec(memory_space=pltpu.ANY),       # gt (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # ci (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # ids (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # gt (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # ci (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # ids (HBM)
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1674,9 +1674,9 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1))],
         out_shape=[
@@ -1887,10 +1887,10 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # gt (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # ci (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # ids (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # opa (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # gt (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # ci (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # ids (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # opa (HBM)
         ],
         out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
                    blk((RAY_BLOCK, K)), blk((RAY_BLOCK, K)),
@@ -2073,10 +2073,10 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C_PAD, ncp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
                    blk((RAY_BLOCK, 1))],
