@@ -121,19 +121,47 @@ VMEM_LIMIT_BYTES = _env_bytes("NTRACER_VMEM_LIMIT", None)
 POOL_VMEM_BUDGET = _env_bytes("NTRACER_POOL_VMEM", 48 * 1024 * 1024)
 
 
-def _cparams(pool_bytes=0):
+def _cparams(pool_bytes=0, stack_bytes=0):
     """Shared Pallas compiler params for every walk kernel.
 
     ``pool_bytes`` is the VMEM-resident pool footprint the call ships
     (``_pool_bytes``).  Small pools keep Mosaic's ~16 MiB default limit
     (byte-identical to rounds 1-3); larger ones get a limit derived from
-    the actual layout plus room for the walk stack and ray slabs.  An
-    explicit NTRACER_VMEM_LIMIT always wins (hardware sweeps)."""
+    the actual layout plus room for the walk stack and ray slabs.
+    ``stack_bytes`` adds headroom for kernels whose unrolled sub-block
+    stacks exceed the default limit's ~10 MiB of stack (the SB=8
+    occlusion walks: ~3.6 MB/walk measured from Mosaic's own OOM
+    report).  An explicit NTRACER_VMEM_LIMIT always wins."""
     from jax.experimental.pallas import tpu as pltpu
     limit = VMEM_LIMIT_BYTES
-    if limit is None and pool_bytes > 8 * 1024 * 1024:
-        limit = min(pool_bytes + 24 * 1024 * 1024, 110 * 1024 * 1024)
+    if limit is None and (pool_bytes > 8 * 1024 * 1024
+                          or stack_bytes > 9 * 1024 * 1024):
+        limit = min(pool_bytes + stack_bytes + 24 * 1024 * 1024,
+                    110 * 1024 * 1024)
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
+def _occ_stack_bytes(sb):
+    """Scoped-vmem stack headroom for ``sb`` unrolled occlusion walks."""
+    return int(sb * 3.8e6 * RAY_BLOCK / 512)
+
+
+def _occ_sub_blocks(ni):
+    """SB for the occlusion kernels: shadow batches are block-sparse
+    (per-block liveness flags skip the walk body), so dead grid steps
+    dominate lit scenes — default to 8 walks per step and raise the
+    scoped-vmem limit to fit the unrolled stacks (_occ_stack_bytes).
+    NTRACER_OCC_SB overrides for hardware sweeps (NTRACER_SB drives the
+    nearest-walk kernels, a separate axis)."""
+    import os
+    env = os.environ.get("NTRACER_OCC_SB")
+    try:
+        sb = max(1, min(8, int(env))) if env else 8
+    except ValueError:
+        sb = 8
+    while sb > 1 and ni % sb:
+        sb -= 1
+    return sb
 
 
 def _pool_bytes(res):
@@ -162,15 +190,18 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _sub_blocks(ni):
+def _sub_blocks(ni, per_walk_mb=3.5):
     """Independent RAY_BLOCK walks per grid step: each step costs
     ~2.4-3.5 us of fixed overhead, so batching amortizes it.  Mosaic
     stack-allocates the unrolled walks' temporaries separately (~3.5 MB
-    per 512-ray walk; 8x512 blew the 16 MB scoped-vmem limit at 28.5 MB),
-    so the count is bounded by a VMEM budget.  NTRACER_SB overrides for
+    per 512-ray NEAREST walk; 8x512 blew the 16 MB scoped-vmem limit at
+    28.5 MB), so the count is bounded by a VMEM budget.  The occlusion
+    walks carry a smaller stack (no best-id/argmin/payload temporaries)
+    and pass a smaller ``per_walk_mb`` for a higher SB — block-sparse
+    shadow batches are dead-step dominated.  NTRACER_SB overrides for
     hardware sweeps."""
     import os
-    per_walk = max(1, int(3.5e6 * RAY_BLOCK / 512))
+    per_walk = max(1, int(per_walk_mb * 1e6 * RAY_BLOCK / 512))
     # stack budget = scoped-vmem limit minus room for the pool layouts and
     # ray slabs (the default ~16 MiB limit leaves ~10 MiB of stack —
     # preserves the measured SB=2 default at RAY_BLOCK=512)
@@ -790,51 +821,58 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]
 
 
-def _occlusion_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occlusion_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
                       order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                       gt_ref, ci_ref, ids_ref,
                       out_ref, count_ref, blocked):
-    out_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    # SB independent RAY_BLOCK any-hit walks per grid step: shadow
+    # batches are usually block-sparse (per-block liveness flags skip
+    # the walk body), so the ~2.4-3.5 us fixed grid-step cost DOMINATES
+    # lit scenes — 3 lights x 2048 dead steps measured 15.7 ms of the
+    # 6-D lit frame (scripts/lit_split.py); batching divides it by SB.
+    for sb in range(SB):
+        sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+        out_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
 
-    @pl.when(blive_ref[pl.program_id(0)] != 0)
-    def _walk():
-        o8 = o_ref[:]
-        d8 = dir_ref[:]
-        skip = skip_ref[:]
-        ldist = ldist_ref[:]
+        @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
+        def _walk(sl=sl):
+            o8 = o_ref[sl]
+            d8 = dir_ref[sl]
+            skip = skip_ref[sl]
+            ldist = ldist_ref[sl]
 
-        blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-        n_eff = neff_ref[0]
+            blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+            n_eff = neff_ref[0]
 
-        # vectorized candidate scan with a single, latency-hidden scalar
-        # sync per iteration (see _nearest_kernel).
-        emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
-        ncp = emin.shape[1]
-        posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+            # vectorized candidate scan with a single, latency-hidden
+            # scalar sync per iteration (see _nearest_kernel).
+            emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)  # (1, ncp)
+            ncp = emin.shape[1]
+            posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
-        def find_next(k0):
-            lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
-                           axis=0, keepdims=True)                   # (1, 1)
-            cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
-            return jnp.min(jnp.where(cand, posi, BIG_POS))
+            def find_next(k0):
+                lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                               axis=0, keepdims=True)               # (1, 1)
+                cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
+                return jnp.min(jnp.where(cand, posi, BIG_POS))
 
-        def body(state):
-            k, _, visited = state
-            nxt = find_next(k + 1)
-            idx = order_ref[k]
-            t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref, ids_ref,
-                                   idx, o8, d8, skip)
-            valid &= t < ldist
-            hit = jnp.any(valid, axis=1, keepdims=True)
-            blocked[:] = jnp.where(hit, 1, blocked[:])
-            return nxt, nxt < BIG_POS, visited + 1
+            def body(state):
+                k, _, visited = state
+                nxt = find_next(k + 1)
+                idx = order_ref[k]
+                t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref,
+                                       ids_ref, idx, o8, d8, skip)
+                valid &= t < ldist
+                hit = jnp.any(valid, axis=1, keepdims=True)
+                blocked[:] = jnp.where(hit, 1, blocked[:])
+                return nxt, nxt < BIG_POS, visited + 1
 
-        k0 = find_next(jnp.int32(0))
-        _, _, visited = jax.lax.while_loop(
-            lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-        out_ref[:] = blocked[:]
-        count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+            k0 = find_next(jnp.int32(0))
+            _, _, visited = jax.lax.while_loop(
+                lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
+            out_ref[sl] = blocked[:]
+            count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -847,6 +885,8 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
     ni = R // RAY_BLOCK
+    SB = _occ_sub_blocks(ni)
+    RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]
 
@@ -859,18 +899,18 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
         .astype(jnp.int32)
 
     out, counts = pl.pallas_call(
-        partial(_occlusion_kernel, d, ck),
-        grid=(ni,),
+        partial(_occlusion_kernel, d, ck, SB),
+        grid=(ni // SB,),
         interpret=_interpret(),
-        compiler_params=_cparams(_pool_bytes(res)),
+        compiler_params=_cparams(_pool_bytes(res), _occ_stack_bytes(SB)),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
+            pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, C_PAD), lambda i: (i, 0),
+            pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # order
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
@@ -887,9 +927,9 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -1078,32 +1118,36 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
     return out_t[:, 0], gid, out_tt, tgid, counts[::RAY_BLOCK, 0]
 
 
-def _occl_t_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occl_t_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
                    order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                    gt_ref, ci_ref, ids_ref, opa_ref,
                    out_ref, filt_ref, count_ref,
                    blocked, filt):
-    out_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-    filt_ref[:] = jnp.ones((RAY_BLOCK, 1), f32)
-    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    # SB sub-block batching: see _occlusion_kernel (dead grid steps
+    # dominate block-sparse shadow batches)
+    for sb in range(SB):
+        sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+        out_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        filt_ref[sl] = jnp.ones((RAY_BLOCK, 1), f32)
+        count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
 
-    @pl.when(blive_ref[pl.program_id(0)] != 0)
-    def _walk():
-        _occl_t_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                     order_ref, neff_ref, klo_t_ref, khi_t_ref,
-                     gt_ref, ci_ref, ids_ref, opa_ref,
-                     out_ref, filt_ref, count_ref, blocked, filt)
+        @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
+        def _walk(sl=sl):
+            _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
+                         order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                         gt_ref, ci_ref, ids_ref, opa_ref,
+                         out_ref, filt_ref, count_ref, blocked, filt)
 
 
-def _occl_t_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
                  order_ref, neff_ref, klo_t_ref, khi_t_ref,
                  gt_ref, ci_ref, ids_ref, opa_ref,
                  out_ref, filt_ref, count_ref,
                  blocked, filt):
-    o8 = o_ref[:]
-    d8 = dir_ref[:]
-    skip = skip_ref[:]
-    ldist = ldist_ref[:]
+    o8 = o_ref[sl]
+    d8 = dir_ref[sl]
+    skip = skip_ref[sl]
+    ldist = ldist_ref[sl]
 
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
@@ -1152,9 +1196,9 @@ def _occl_t_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     k0 = find_next(jnp.int32(0))
     _, _, visited = jax.lax.while_loop(
         lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-    out_ref[:] = blocked[:]
-    filt_ref[:] = filt[:]
-    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_ref[sl] = blocked[:]
+    filt_ref[sl] = filt[:]
+    count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -1165,6 +1209,8 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
     ni = R // RAY_BLOCK
+    SB = _occ_sub_blocks(ni)
+    RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]
     o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
@@ -1180,13 +1226,13 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.VMEM)
     out, filt, counts = pl.pallas_call(
-        partial(_occl_t_kernel, d, ck),
-        grid=(ni,),
+        partial(_occl_t_kernel, d, ck, SB),
+        grid=(ni // SB,),
         interpret=_interpret(),
-        compiler_params=_cparams(_pool_bytes(res)),
+        compiler_params=_cparams(_pool_bytes(res), _occ_stack_bytes(SB)),
         in_specs=[
-            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
-            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            blk((RB, C_PAD)), blk((RB, C_PAD)),
+            blk((RB, 1)), blk((RB, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
@@ -1194,8 +1240,8 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
             full((nc, pr, ck)), full((nc, C_PAD, ck)),
             full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
         ],
-        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
-                   blk((RAY_BLOCK, 1))],
+        out_specs=[blk((RB, 1)), blk((RB, 1)),
+                   blk((RB, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
@@ -1539,23 +1585,29 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
     return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]
 
 
-def _occl_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occl_hbm_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
                      order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                      gt_hbm, ci_hbm, ids_hbm,
                      out_ref, count_ref,
                      blocked, gt_buf, ci_buf, ids_buf, sems):
-    out_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    # SB sub-block batching: see _occlusion_kernel (dead grid steps
+    # dominate block-sparse shadow batches).  The DMA buffers/semaphores
+    # are reused sequentially — each sub-block walk quiesces its own
+    # fetches before returning.
+    for sb in range(SB):
+        sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+        out_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
 
-    @pl.when(blive_ref[pl.program_id(0)] != 0)
-    def _walk():
-        _occl_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                       order_ref, neff_ref, klo_t_ref, khi_t_ref,
-                       gt_hbm, ci_hbm, ids_hbm, out_ref, count_ref,
-                       blocked, gt_buf, ci_buf, ids_buf, sems)
+        @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
+        def _walk(sl=sl):
+            _occl_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
+                           order_ref, neff_ref, klo_t_ref, khi_t_ref,
+                           gt_hbm, ci_hbm, ids_hbm, out_ref, count_ref,
+                           blocked, gt_buf, ci_buf, ids_buf, sems)
 
 
-def _occl_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occl_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
                    order_ref, neff_ref, klo_t_ref, khi_t_ref,
                    gt_hbm, ci_hbm, ids_hbm,
                    out_ref, count_ref,
@@ -1564,10 +1616,10 @@ def _occl_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     8-slot deep prefetch as _nearest_hbm_kernel.  lmax = 0 once every ray
     resolves, so the candidate scan doubles as the liveness check; extra
     visits are exact (per-ray ``t < ldist`` filtering)."""
-    o8 = o_ref[:]
-    d8 = dir_ref[:]
-    skip = skip_ref[:]
-    ldist = ldist_ref[:]
+    o8 = o_ref[sl]
+    d8 = dir_ref[sl]
+    skip = skip_ref[sl]
+    ldist = ldist_ref[sl]
 
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     n_eff = neff_ref[0]
@@ -1636,8 +1688,8 @@ def _occl_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     _, _, _, _, visited = jax.lax.while_loop(
         lambda s: s[3], body,
         (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
-    out_ref[:] = blocked[:]
-    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_ref[sl] = blocked[:]
+    count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -1647,6 +1699,8 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
     ni = R // RAY_BLOCK
+    SB = _occ_sub_blocks(ni)
+    RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]
     o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
@@ -1660,13 +1714,13 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     out, counts = pl.pallas_call(
-        partial(_occl_hbm_kernel, d, ck),
-        grid=(ni,),
+        partial(_occl_hbm_kernel, d, ck, SB),
+        grid=(ni // SB,),
         interpret=_interpret(),
-        compiler_params=_cparams(),
+        compiler_params=_cparams(stack_bytes=_occ_stack_bytes(SB)),
         in_specs=[
-            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
-            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            blk((RB, C_PAD)), blk((RB, C_PAD)),
+            blk((RB, 1)), blk((RB, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
@@ -1678,7 +1732,7 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1))],
+        out_specs=[blk((RB, 1)), blk((RB, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
@@ -1923,27 +1977,30 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
     return out_t[:, 0], gid, out_tt, tgid, counts[::RAY_BLOCK, 0]
 
 
-def _occl_t_hbm_kernel(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occl_t_hbm_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
                        order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                        gt_hbm, ci_hbm, ids_hbm, opa_hbm,
                        out_ref, filt_ref, count_ref,
                        blocked, filt, gt_buf, ci_buf, ids_buf, opa_buf,
                        sems):
-    out_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-    filt_ref[:] = jnp.ones((RAY_BLOCK, 1), f32)
-    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    # SB sub-block batching: see _occlusion_kernel
+    for sb in range(SB):
+        sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+        out_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        filt_ref[sl] = jnp.ones((RAY_BLOCK, 1), f32)
+        count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
 
-    @pl.when(blive_ref[pl.program_id(0)] != 0)
-    def _walk():
-        _occl_t_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
-                         order_ref, neff_ref, klo_t_ref, khi_t_ref,
-                         gt_hbm, ci_hbm, ids_hbm, opa_hbm,
-                         out_ref, filt_ref, count_ref,
-                         blocked, filt, gt_buf, ci_buf, ids_buf, opa_buf,
-                         sems)
+        @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
+        def _walk(sl=sl):
+            _occl_t_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref,
+                             ldist_ref, order_ref, neff_ref, klo_t_ref,
+                             khi_t_ref, gt_hbm, ci_hbm, ids_hbm, opa_hbm,
+                             out_ref, filt_ref, count_ref,
+                             blocked, filt, gt_buf, ci_buf, ids_buf,
+                             opa_buf, sems)
 
 
-def _occl_t_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occl_t_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
                      order_ref, neff_ref, klo_t_ref, khi_t_ref,
                      gt_hbm, ci_hbm, ids_hbm, opa_hbm,
                      out_ref, filt_ref, count_ref,
@@ -1951,10 +2008,10 @@ def _occl_t_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
                      sems):
     """HBM transparent occlusion: any-opaque-hit + transparency product
     with packed 4-candidate selection + deep prefetch."""
-    o8 = o_ref[:]
-    d8 = dir_ref[:]
-    skip = skip_ref[:]
-    ldist = ldist_ref[:]
+    o8 = o_ref[sl]
+    d8 = dir_ref[sl]
+    skip = skip_ref[sl]
+    ldist = ldist_ref[sl]
 
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
@@ -2034,9 +2091,9 @@ def _occl_t_hbm_live(d, ck, o_ref, dir_ref, skip_ref, ldist_ref,
     _, _, _, _, visited = jax.lax.while_loop(
         lambda s: s[3], body,
         (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
-    out_ref[:] = blocked[:]
-    filt_ref[:] = filt[:]
-    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_ref[sl] = blocked[:]
+    filt_ref[sl] = filt[:]
+    count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -2046,6 +2103,8 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
     ni = R // RAY_BLOCK
+    SB = _occ_sub_blocks(ni)
+    RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]
     o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
@@ -2059,13 +2118,13 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
     blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     out, filt, counts = pl.pallas_call(
-        partial(_occl_t_hbm_kernel, d, ck),
-        grid=(ni,),
+        partial(_occl_t_hbm_kernel, d, ck, SB),
+        grid=(ni // SB,),
         interpret=_interpret(),
-        compiler_params=_cparams(),
+        compiler_params=_cparams(stack_bytes=_occ_stack_bytes(SB)),
         in_specs=[
-            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
-            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            blk((RB, C_PAD)), blk((RB, C_PAD)),
+            blk((RB, 1)), blk((RB, 1)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
@@ -2078,8 +2137,8 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
-                   blk((RAY_BLOCK, 1))],
+        out_specs=[blk((RB, 1)), blk((RB, 1)),
+                   blk((RB, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
             jax.ShapeDtypeStruct((R, 1), jnp.float32),

@@ -267,6 +267,27 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         _stat(stats, "rays_traced",
               R if active is None else jnp.sum(active.astype(jnp.int32)))
         _stat(stats, "chunks_visited", jnp.sum(vis))
+        if transposed:
+            # transposed K-slot finish: sort and gather with R on the
+            # lane axis (same stable sort of the same columns => same
+            # permutation as the row path)
+            kttT = ktt.T                                   # (K, R)
+            order_k = jnp.argsort(kttT, axis=0)
+            ttT = jnp.take_along_axis(kttT, order_k, axis=0)
+            tidT = jnp.take_along_axis(
+                jnp.where(ktid.T >= 0, ktid.T + arrs["tri_base"], -1),
+                order_k, axis=0)
+            t = jnp.where(kid >= 0, kt, REAL_MAX)
+            pid = jnp.where(kid >= 0, kid + arrs["tri_base"], -1)
+            rowT = arrs["tri_pack"].T[:, jnp.clip(kid, 0, cfg.n_tris - 1)]
+            dirsT = dirs.T
+            pointT = o.T + t[None, :] * dirsT
+            fnT = rowT[:d]
+            denom = _dotT(fnT, dirsT)
+            normalT = _unitT(fnT) * jnp.where(denom > 0, -1.0, 1.0)[None, :]
+            res = dict(t=t, pid=pid, pointT=pointT, normalT=normalT,
+                       mat=rowT[d].astype(jnp.int32), ttT=ttT, tidT=tidT)
+            return _trace_finish_T(arrs, cfg, o, dirs, skip, res, K)
         sortidx = jnp.argsort(ktt, axis=1)
         carry = dict(
             t=jnp.where(kid >= 0, kt, REAL_MAX),
@@ -309,8 +330,9 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         if transposed:
             # transposed finish: gather + hit geometry on (k, R) tensors
             # (same values; see the transposed-pipeline block above).
-            # Callers guarantee K == 0, no solids, no prim sharding.
-            assert K == 0 and cfg.n_solids == 0 and cfg.prim_axis is None
+            # Callers guarantee K == 0 and no prim sharding; solids are
+            # folded in by _trace_finish_T.
+            assert K == 0 and cfg.prim_axis is None
             kt, slot, vis = nearest(res_k, o, dirs, skip_local, d,
                                     order=order, dmin=dmin, active=active,
                                     sh=sh, raw_slot=True)
@@ -326,8 +348,9 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
             fnT = rowT[:d]
             denom = _dotT(fnT, dirsT)
             normalT = _unitT(fnT) * jnp.where(denom > 0, -1.0, 1.0)[None, :]
-            return dict(t=t, pid=pid, hit=pid >= 0, pointT=pointT,
-                        normalT=normalT, mat=rowT[d].astype(jnp.int32))
+            res = dict(t=t, pid=pid, pointT=pointT, normalT=normalT,
+                       mat=rowT[d].astype(jnp.int32))
+            return _trace_finish_T(arrs, cfg, o, dirs, skip, res, K)
 
         import os as _os
         use_pay = bool(_os.environ.get("NTRACER_PAYLOAD")) \
@@ -527,6 +550,61 @@ def _trace_finish(arrs, cfg, o, dirs, skip, carry, K, R):
     if K:
         tvalid = (res["tid"] >= 0) & (res["tt"] < res["t"][:, None])
         res["tid"] = jnp.where(tvalid, res["tid"], -1)
+    return res
+
+
+def _trace_finish_T(arrs, cfg, o, dirs, skip, res, K):
+    """Solids + transparent-slot payload for the transposed trace path:
+    the (k, R) twin of _trace_finish — the same f32 operations in the
+    same order, so values are unchanged (solid tests run in row layout
+    and only their results are transposed; transposing is bit-exact,
+    re-deriving the matmuls in (d, R) would not be).
+
+    ``res`` carries t/pid/mat (R,), pointT/normalT (d, R) and, when K,
+    ttT/tidT (K, R) sorted ascending by t."""
+    d = cfg.d
+    R = o.shape[0]
+    for s in range(cfg.n_solids):
+        st, sp, sn = _solid_test(arrs, s, o, dirs, d)
+        sid = arrs["sol_base"] + s
+        s_opaque = arrs["mat_opacity"][arrs["sol_mat"][s]] >= 1
+        svalid = (st > 0) & (sid != skip)
+        so_valid = svalid & s_opaque & (st < res["t"])
+        res["t"] = jnp.where(so_valid, st, res["t"])
+        res["pid"] = jnp.where(so_valid, sid, res["pid"])
+        res["pointT"] = jnp.where(so_valid[None, :], sp.T, res["pointT"])
+        res["normalT"] = jnp.where(so_valid[None, :], sn.T, res["normalT"])
+        res["mat"] = jnp.where(so_valid, arrs["sol_mat"][s], res["mat"])
+        if K:
+            str_valid = svalid & ~s_opaque
+            tins = jnp.where(str_valid, st, INF)
+            allt = jnp.concatenate([res["ttT"], tins[None, :]], axis=0)
+            alli = jnp.concatenate(
+                [res["tidT"], jnp.full((1, R), sid, jnp.int32)], axis=0)
+            order = jnp.argsort(allt, axis=0)[:K]
+            res["ttT"] = jnp.take_along_axis(allt, order, axis=0)
+            res["tidT"] = jnp.take_along_axis(alli, order, axis=0)
+
+    res["hit"] = res["pid"] >= 0
+    if K:
+        # per-slot payload (view-facing normal + material) as ONE packed
+        # (d+1, K, R) row gather — R stays on the lane axis throughout
+        tid = res["tidT"]
+        local = jnp.clip(tid - arrs["tri_base"], 0, cfg.n_tris - 1)
+        rows = arrs["tri_pack"].T[:, local]               # (d+1, K, R)
+        fnk = rows[:d]
+        denomk = jnp.sum(fnk * dirs.T[:, None, :], axis=0)
+        tnorm = _unitT(fnk) * jnp.where(denomk > 0, -1.0, 1.0)[None, :, :]
+        tmat = rows[d].astype(jnp.int32)
+        for s in range(cfg.n_solids):
+            st, sp, sn = _solid_test(arrs, s, o, dirs, d)
+            sel = tid == (arrs["sol_base"] + s)
+            tnorm = jnp.where(sel[None, :, :], sn.T[:, None, :], tnorm)
+            tmat = jnp.where(sel, arrs["sol_mat"][s], tmat)
+        tvalid = (tid >= 0) & (res["ttT"] < res["t"][None, :])
+        res["tidT"] = jnp.where(tvalid, tid, -1)
+        res["tnormT"] = tnorm
+        res["tmatT"] = tmat
     return res
 
 
@@ -1119,11 +1197,20 @@ def _ray_colors_T(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats, pctx,
         bgT = background_T(cfg, dyn, dirsT)
         color_hereT = jnp.where(hit[None, :], localT, bgT)
 
+        if cfg.has_transparency:
+            color_hereT, weight_scale = _compose_transparent_T(
+                arrs, cfg, dyn, oT, dirsT, res, color_hereT, depth,
+                stats=stats)
+        else:
+            weight_scale = None
+
         out += jnp.where(active[None, :], weight * color_hereT, 0.0)
 
         if depth == max_bounces:
             break
         weight = weight * child_coefT
+        if weight_scale is not None:
+            weight = weight * weight_scale[None, :]
         active = active & hit & jnp.any(child_coefT > 0, axis=0)
         o = res["pointT"].T
         dirs = _unitT(child_dirT).T
@@ -1136,15 +1223,21 @@ def _ray_colors_T(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats, pctx,
 
 
 def _transposed_ok(arrs, cfg, R):
-    """The transposed pipeline serves kernel-path scenes without
-    transparency, solids, or prim sharding (flagship / mesh / lit);
+    """The transposed pipeline serves every kernel-path scene —
+    camera/lit/reflective, solids, and transparent (round 5: the row
+    twins of the K-buffer compose and the solids finish paid the
+    measured 5-12x row-layout penalty) — except prim-sharded pools
+    (the cross-shard winner merge is still row layout);
     NTRACER_NO_TRANSPOSED=1 forces the row path for A/Bs."""
     import os as _os
-    return (not cfg.has_transparency and cfg.n_solids == 0
-            and cfg.prim_axis is None and "res_slot_pack" in arrs
-            and (_kernel2_ok(arrs, cfg, R) or _kernel2h_ok(arrs, cfg, R))
-            and not _os.environ.get("NTRACER_PAYLOAD")
-            and not _os.environ.get("NTRACER_NO_TRANSPOSED"))
+    if _os.environ.get("NTRACER_PAYLOAD") \
+            or _os.environ.get("NTRACER_NO_TRANSPOSED") \
+            or cfg.prim_axis is not None:
+        return False
+    if cfg.has_transparency:
+        return _kernel2t_ok(arrs, cfg, R) and "tri_pack" in arrs
+    return ("res_slot_pack" in arrs
+            and (_kernel2_ok(arrs, cfg, R) or _kernel2h_ok(arrs, cfg, R)))
 
 
 def ray_colors(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats=False,
@@ -1230,6 +1323,33 @@ def ray_colors_packable(arrs, cfg, dyn, o, dirs, pctx=None):
         return _ray_colors_T(arrs, cfg, dyn, o, dirs, False, pctx,
                              want_T=True), True
     return ray_colors(arrs, cfg, dyn, o, dirs, pctx=pctx), False
+
+
+def _compose_transparent_T(arrs, cfg, dyn, oT, dirsT, res, base_colorT,
+                           depth, stats=None):
+    """Transpose of ``_compose_transparent``: far-to-near composition
+    (tracer.hpp:1870-1880) over (3, R) color rows.  Same f32 ops in the
+    same slot order as the row twin."""
+    K = cfg.max_transparent_hits
+    R = oT.shape[1]
+    color = base_colorT
+    trans = jnp.ones((R,), f32)
+    for k in range(K - 1, -1, -1):
+        tid = res["tidT"][k]
+        tk = res["ttT"][k]
+        valid = tid >= 0
+        safe_id = jnp.where(valid, tid, 0)
+        pointT = oT + tk[None, :] * dirsT
+        normalT = res["tnormT"][:, k]
+        mi = res["tmatT"][k]
+        localT, _, _ = shade_local_T(arrs, cfg, dirsT, pointT, normalT,
+                                     safe_id, mi, depth, dyn, active=valid,
+                                     stats=stats)
+        op = arrs["mat_opacity"][mi]
+        new = localT * op[None, :] + color * (1 - op)[None, :]
+        color = jnp.where(valid[None, :], new, color)
+        trans = jnp.where(valid, trans * (1 - op), trans)
+    return color, trans
 
 
 def _compose_transparent(arrs, cfg, dyn, o, dirs, res, hit, base_color,

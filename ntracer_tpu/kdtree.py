@@ -31,6 +31,12 @@ f32 = np.float32
 KD_DEFAULT_MAX_DEPTH = 25  # tracer.hpp:41 (batched variant)
 KD_DEFAULT_SPLIT_THRESHOLD = 2  # tracer.hpp:44
 
+# False (default) reproduces the reference's sphere-vs-AABB defect
+# (tracer.hpp:1674) for bit-faithful tree builds; True uses the
+# geometrically correct test so the ORACLE's tree agrees with the
+# engine's global solid tests (see _aabb_solid and PARITY.md)
+SOLID_AABB_EXACT = False
+
 
 def default_cost_traversal(d: int) -> float:
     # tracer.hpp:1933-1941
@@ -265,6 +271,18 @@ def _aabb_solid(start, end, proto: SolidPrototype) -> bool:
         c = vm.dot(box_p, component) / vm.square(component)
         c = f32(min(max(c, -1.0), 1.0))
         closest += c * component
+    if SOLID_AABB_EXACT:
+        # geometrically correct distance: sphere center minus the box's
+        # closest point, both center-relative (matches the engine, which
+        # tests solids against every ray regardless of cell membership)
+        return vm.square((box_p - closest).astype(f32)) < 1
+    # REFERENCE DEFECT (tracer.hpp:1674, verified against the compiled
+    # C++ extension): `position - closest` compares the sphere's
+    # absolute position with a CENTER-RELATIVE offset — correct only
+    # when the cell is centered at the origin.  Subdivided cells drop
+    # (or spuriously keep) the sphere, so the reference visibly clips
+    # spheres at k-d planes while this package's engine renders them
+    # whole (PARITY.md "solid k-d membership" deviation).
     return vm.square((solid._position - closest).astype(f32)) < 1
 
 
@@ -491,15 +509,25 @@ def group_primitives(primitives):
         return list(primitives)
 
     # AABB rows for every prototype, fancy-indexed from the shared source
-    # arrays when all prototypes come from one batch_from_points call
-    srcs = {id(p._src[0]) for p in primitives
-            if getattr(p, "_src", None) is not None}
-    if len(srcs) == 1 and all(getattr(p, "_src", None) is not None
-                              for p in primitives):
-        src0 = primitives[0]._src[0]
-        rows0 = np.asarray([p._src[1] for p in primitives])
-        starts0 = src0["lo"][rows0]
-        ends0 = src0["hi"][rows0]
+    # arrays when all prototypes come from one batch_from_points call.
+    # ONE pass collects the source ids, row indices and triangle flags
+    # (four separate comprehensions here were ~2 s of a 300k build).
+    src0 = getattr(primitives[0], "_src", None)
+    rows0_list = []
+    is_tri0 = []
+    shared = src0 is not None
+    for p in primitives:
+        is_tri0.append(isinstance(p, TrianglePrototype))
+        if shared:
+            s = getattr(p, "_src", None)
+            if s is None or s[0] is not src0[0]:
+                shared = False
+            else:
+                rows0_list.append(s[1])
+    if shared:
+        rows0 = np.asarray(rows0_list)
+        starts0 = src0[0]["lo"][rows0]
+        ends0 = src0[0]["hi"][rows0]
     else:
         starts0 = np.stack([p.boundary._start for p in primitives])
         ends0 = np.stack([p.boundary._end for p in primitives])
@@ -551,7 +579,8 @@ def group_primitives(primitives):
     # tie-breaking (stable sort = (metric, index)), and the early-exit
     # rule are IDENTICAL to the per-item loop this replaces.
     n = len(items)
-    is_tri = [isinstance(p, TrianglePrototype) for p in items]
+    # permute the single-pass flags rather than re-test 300k types
+    is_tri = [is_tri0[i] for i in perm]
 
     # the selection loop lives in the native builder library when
     # available (ntr_group_select, bit-for-bit the same decisions —

@@ -763,18 +763,41 @@ def test_prim_sharded_renderer_uses_collectives(monkeypatch):
     assert n_coll > 0, "prim sharding needs a cross-shard winner reduction"
 
 
-@pytest.mark.parametrize("variant", ["camera", "shadows", "reflective"])
+@pytest.mark.parametrize("variant", ["camera", "shadows", "reflective",
+                                     "transparent", "solids",
+                                     "transparent_solids"])
 def test_transposed_pipeline_matches_row_and_oracle(variant, monkeypatch):
     """The transposed (k, R) post-trace pipeline (round 4: XLA lowers the
     row-layout shade chain ~10x above bandwidth; the transposed twin runs
     at ~bandwidth) must agree with BOTH the scalar oracle and the row
-    pipeline on kernel-path scenes, across camera-light, lit+shadowed,
-    and reflective configurations."""
+    pipeline on kernel-path scenes — camera-light, lit+shadowed,
+    reflective, and (round 5) the transparent K-buffer compose and the
+    solids finish."""
     import numpy as np
     from ntracer_tpu.engine import wavefront
 
     monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
     nt = NTracer(3)
+
+    def _hand_built(protos, lights=(), shadows=False):
+        # solids are HAND-BUILT into one leaf (the reference's own test
+        # pattern): build-time solid placement is defective in the
+        # reference (negated-center boundary + sphere-vs-AABB test,
+        # PARITY.md defects 6/9), so tree-built solid scenes diverge
+        # from the engine BY DESIGN; a KDLeaf tree sidesteps the build
+        from ntracer_tpu.kdnodes import KDLeaf
+        scene = nt.CompositeScene(
+            nt.AABB((-6, -6, -6), (6, 6, 6)),
+            KDLeaf([p.primitive for p in protos]))
+        cam = nt.Camera()
+        cam.translate(nt.Vector.axis(2, -8))
+        scene.set_camera(cam)
+        for li in lights:
+            scene.add_light(li)
+        if shadows:
+            scene.set_shadows(True)
+        return scene
+
     if variant == "camera":
         scene = _random_scene(nt, n=600, seed=31)
     elif variant == "shadows":
@@ -783,6 +806,64 @@ def test_transposed_pipeline_matches_row_and_oracle(variant, monkeypatch):
             lights=[nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)),
                     nt.GlobalLight(nt.Vector(0, -1, 0), (0.3, 0.3, 0.3))])
         scene.set_shadows(True)
+    elif variant in ("transparent", "transparent_solids"):
+        # mixed opaque + transparent pool (+ optionally a transparent
+        # solid and shadows) so every arm of the transposed compose and
+        # finish runs: K-slot sort/payload, occlusion filter product,
+        # solid K-insertion
+        # transparent density kept low enough that no sampled ray
+        # crosses more than K=8 transparent surfaces (the engine's
+        # K-buffer is bounded; the oracle's hit list is not)
+        mat_t = Material((0.9, 0.7, 0.4), opacity=0.45)
+        rng = np.random.RandomState(35)
+        protos = []
+        for i in range(500):
+            m = mat_t if i % 10 == 0 else Material((1, 0.5, 0.5))
+            base = rng.uniform(-2, 2, 3)
+            pts = [nt.Vector(*(base + rng.uniform(-0.8, 0.8, 3)))
+                   for _ in range(3)]
+            protos.append(nt.TrianglePrototype(pts, m))
+        lights = [nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6))]
+        if variant == "transparent_solids":
+            from ntracer_tpu.primitives import CUBE, SPHERE
+            protos.append(nt.SolidPrototype(
+                CUBE, nt.Vector(0.5, 0, -2), nt.Matrix.identity(),
+                Material((0.4, 0.9, 0.6), opacity=0.5)))
+            protos.append(nt.SolidPrototype(
+                SPHERE, nt.Vector(-1.5, 0.5, -1), nt.Matrix.identity(),
+                Material((0.9, 0.4, 0.6))))
+            scene = _hand_built(protos, lights=lights, shadows=True)
+        else:
+            # unbatched build: the reference records one transparent hit
+            # per TriangleBatch (PARITY.md defect 7), so the batched
+            # oracle diverges from the engine's exact K-buffer by design
+            from ntracer_tpu import kdtree
+            monkeypatch.setattr(kdtree, "group_primitives",
+                                lambda prims: list(prims))
+            scene = nt.build_composite_scene(protos)
+            cam = nt.Camera()
+            cam.translate(nt.Vector.axis(2, -8))
+            scene.set_camera(cam)
+            for li in lights:
+                scene.add_light(li)
+            scene.set_shadows(True)
+    elif variant == "solids":
+        from ntracer_tpu.primitives import CUBE, SPHERE
+        rng = np.random.RandomState(36)
+        protos = []
+        mat = Material((1, 0.5, 0.5))
+        for _ in range(600):
+            base = rng.uniform(-2, 2, 3)
+            pts = [nt.Vector(*(base + rng.uniform(-0.8, 0.8, 3)))
+                   for _ in range(3)]
+            protos.append(nt.TrianglePrototype(pts, mat))
+        protos.append(nt.SolidPrototype(
+            CUBE, nt.Vector(0.8, -0.3, -3), nt.Matrix.identity(),
+            Material((0.3, 0.8, 0.9))))
+        protos.append(nt.SolidPrototype(
+            SPHERE, nt.Vector(-1.2, 0.6, -2), nt.Matrix.identity(),
+            Material((0.8, 0.9, 0.3))))
+        scene = _hand_built(protos)
     else:
         scene = _random_scene(nt, n=600, seed=33,
                               mat=Material((1, 0.6, 0.4), reflectivity=0.5))
