@@ -9,6 +9,10 @@ pixels' 8-bit values against the scalar oracle.
 
     python scripts/tpu_parity.py [--out PARITY_TPU.json] [--samples N]
 
+Default 96 samples/scene (the committed baseline's own calibration
+point — VERDICT-r4 #7); the transparent/solids scenes now exercise the
+round-5 transposed K-buffer compose and solids finish on hardware.
+
 Scenes: opaque pool (resident kernel), shadows + point light (occlusion
 kernel), reflections (bounce loop + compaction), transparency (K-buffer
 kernels), solids + triangles mixed, d=5 pool, HBM-path pool (VMEM budget
@@ -165,7 +169,7 @@ BASELINE_96 = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_TPU.json"))
-    ap.add_argument("--samples", type=int, default=48)
+    ap.add_argument("--samples", type=int, default=96)
     ap.add_argument("--size", type=int, default=192)
     args = ap.parse_args()
 
