@@ -235,11 +235,21 @@ def main():
         fkey = _packing.format_key(fmt)
         dyn = wavefront._scene_dyn(scene)
 
+        @jax.jit
         def frame_unpacked():
-            # full shading pipeline, raw float colors (no device packing)
-            return wavefront._frame_packed_composite(
-                device, cfg, dyn, axis_cam[0], axis_cam[1], fovp,
-                jnp.int32(0), W, n_tiles, None)
+            # full shading pipeline, raw float colors: no device packing
+            # AND no unswizzle (the key=None path unswizzles FLOAT rows,
+            # which the packed path never does — using it here inflated
+            # the device_pack stage by ~5 ms in BENCH_r04's window)
+            pctx2 = wavefront.primary_ctx(device, cfg, axis_cam[0])
+            count = n_tiles * wavefront.TILE
+            xs2, ys2, _sw = wavefront._ray_coords(jnp.int32(0), W, count)
+            o2, d2 = wavefront.make_rays(axis_cam[0], axis_cam[1],
+                                         fovp[0], fovp[1], fovp[2],
+                                         xs2, ys2)
+            colors, _is_T = wavefront.ray_colors_packable(
+                device, cfg, dyn, o2, d2, pctx=pctx2)
+            return colors
 
         @jax.jit
         def noop():

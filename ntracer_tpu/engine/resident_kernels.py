@@ -520,6 +520,12 @@ def _miss_payload(pw, d):
     return jnp.where(lane == d + 1, -1.0, 0.0)
 
 
+def _miss_payload_t(pw, d):
+    """Transposed miss payload: (pw, RAY_BLOCK) with row d+1 = gid -1."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (pw, RAY_BLOCK), 0)
+    return jnp.where(row == d + 1, -1.0, 0.0)
+
+
 def _extract_payload(d, ck, pw, g, idr, msk):
     """One-hot extraction of the winning slot's payload row
     [fn(d), mat, gid, 0-pad] as a single (RAY_BLOCK, ck) @ (ck, pw)
@@ -589,11 +595,13 @@ def _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref, skip_ref,
     # precomputed on the host side and read from SMEM, costing no
     # vector->scalar sync.  This replaces host-side compaction, whose
     # permutation gathers cost far more than the blocks they saved.
-    out_t_ref[sl] = init_t_ref[sl]
-    out_id_ref[sl] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
-    count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    # Boundary refs are LANE-MAJOR (see nearest_hit): dead-block inits
+    # copy (1, RAY_BLOCK) slices directly, live walks transpose once.
+    out_t_ref[0:1, sl] = init_t_ref[0:1, sl]
+    out_id_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), -1, jnp.int32)
+    count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
     if out_pay_ref is not None:
-        out_pay_ref[sl] = _miss_payload(out_pay_ref.shape[1], d)
+        out_pay_ref[:, sl] = _miss_payload_t(out_pay_ref.shape[0], d)
 
     @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
     def _walk():
@@ -609,11 +617,11 @@ def _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref, skip_ref,
                        gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
                        count_ref, best_t, best_id, out_pay_ref=None,
                        best_pay=None):
-    o8 = o_ref[sl]                # (RAY_BLOCK, 8) zero-padded coords
-    d8 = dir_ref[sl]
-    skip = skip_ref[sl]
+    o8 = o_ref[:, sl].T           # (RAY_BLOCK, 8) zero-padded coords
+    d8 = dir_ref[:, sl].T
+    skip = skip_ref[0:1, sl].T
 
-    best_t[:] = init_t_ref[sl]
+    best_t[:] = init_t_ref[0:1, sl].T
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     if best_pay is not None:
         best_pay[:] = _miss_payload(best_pay.shape[1], d)
@@ -693,11 +701,11 @@ def _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref, skip_ref,
         lambda s: s[-2], body,
         iv + (iv[0] // (SENT + 1) < SENT, jnp.int32(0)))
     visited = st[-1]
-    out_t_ref[sl] = best_t[:]
-    out_id_ref[sl] = best_id[:]
+    out_t_ref[0:1, sl] = best_t[:].T
+    out_id_ref[0:1, sl] = best_id[:].T
     if out_pay_ref is not None:
-        out_pay_ref[sl] = best_pay[:]
-    count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+        out_pay_ref[:, sl] = best_pay[:].T
+    count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d", "payload", "raw_slot"))
@@ -737,8 +745,14 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     if active is not None:
         init_t = jnp.where(active, init_t, 0.0)
 
-    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
-    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    # lane-major boundary — (C_PAD, R) rays, (1, R) scalars, (pw, R)
+    # payload: XLA's (8, 128)-tiled layout pads (R, small-k) tensors up
+    # to 128 lanes (a (1M, 1) i32 occupies 512 MB) and the Mosaic custom
+    # call requires DENSE operands, so the row-shaped boundary cost ~9 ms
+    # of relayout PER INVOCATION (measured on an all-dead occlusion
+    # call).  Live blocks transpose their slices once in VMEM instead.
+    o8t = jnp.pad(o.T, ((0, C_PAD - d), (0, 0)))
+    d8t = jnp.pad(dirs.T, ((0, C_PAD - d), (0, 0)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     ci = res["ci"] if sh is None else sh
     klo_t, khi_t = _order_boxes(res, order, d)
@@ -752,25 +766,25 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     pw = payload_width(d)
 
     out_specs = [
-        pl.BlockSpec((RB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((RB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, R), jnp.float32),
+        jax.ShapeDtypeStruct((1, R), jnp.int32),
     ]
     scratch = [
         pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
         pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
     ]
     if payload:
-        out_specs.append(pl.BlockSpec((RB, pw), lambda i: (i, 0),
+        out_specs.append(pl.BlockSpec((pw, RB), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((R, pw), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((pw, R), jnp.float32))
         scratch.append(pltpu.VMEM((RAY_BLOCK, pw), jnp.float32))
-    out_specs.append(pl.BlockSpec((RB, 1), lambda i: (i, 0),
+    out_specs.append(pl.BlockSpec((1, RB), lambda i: (0, i),
                                   memory_space=pltpu.VMEM))
-    out_shape.append(jax.ShapeDtypeStruct((R, 1), jnp.int32))
+    out_shape.append(jax.ShapeDtypeStruct((1, R), jnp.int32))
 
     outs = pl.pallas_call(
         partial(_nearest_kernel, d, ck, sh is not None, SB, payload),
@@ -778,13 +792,13 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
         interpret=_interpret(),
         compiler_params=_cparams(_pool_bytes(res)),
         in_specs=[
-            pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
+            pl.BlockSpec((C_PAD, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
+            pl.BlockSpec((C_PAD, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # order
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
@@ -803,44 +817,50 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, blive,
+    )(o8t, d8t, skip[None, :], init_t[None, :], order, n_eff, blive,
       klo_t, khi_t, res["gt"], ci, res["ids"])
     if payload:
-        out_t, _out_id, out_pay, counts = outs
+        out_t, _out_id, out_payt, counts = outs
         # the payload's gid column IS the dedup'd global pool id — no
         # slot->gid mapping gather needed
-        gid = out_pay[:, d + 1].astype(jnp.int32)
-        return out_t[:, 0], gid, out_pay, counts[::RAY_BLOCK, 0]
+        gid = out_payt[d + 1].astype(jnp.int32)
+        return out_t[0], gid, out_payt.T, counts[0, ::RAY_BLOCK]
     out_t, out_id, counts = outs
     if raw_slot:
-        return out_t[:, 0], out_id[:, 0], counts[::RAY_BLOCK, 0]
+        return out_t[0], out_id[0], counts[0, ::RAY_BLOCK]
     # kernel returns the winning SLOT; map to the dedup'd global pool id
-    slot = out_id[:, 0]
+    slot = out_id[0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
-    return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]
+    return out_t[0], gid, counts[0, ::RAY_BLOCK]
 
 
 def _occlusion_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
                       order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                       gt_ref, ci_ref, ids_ref,
                       out_ref, count_ref, blocked):
-    # SB independent RAY_BLOCK any-hit walks per grid step: shadow
-    # batches are usually block-sparse (per-block liveness flags skip
-    # the walk body), so the ~2.4-3.5 us fixed grid-step cost DOMINATES
-    # lit scenes — 3 lights x 2048 dead steps measured 15.7 ms of the
-    # 6-D lit frame (scripts/lit_split.py); batching divides it by SB.
+    # Operands and outputs are LANE-MAJOR — (C_PAD, R) rays, (1, R)
+    # scalars: XLA stores (R, small-k) tensors in (8, 128) tiles (a
+    # (1M, 1) i32 occupies 512 MB), and the Mosaic custom call requires
+    # DENSE operands, so row-shaped operands forced ~9 ms of relayout
+    # per invocation EVEN WITH ZERO LIVE BLOCKS (measured: dead call
+    # 9.6 ms vs the pad chain alone 1.3 ms).  Lane-major shapes are
+    # tile-dense on both sides; live blocks transpose their slices in
+    # VMEM (one (8, RAY_BLOCK) transpose per operand per walk).
+    #
+    # SB independent RAY_BLOCK any-hit walks per grid step amortize the
+    # fixed grid-step cost across the block-sparse shadow batches.
     for sb in range(SB):
         sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
-        out_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-        count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        out_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
+        count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
         @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
         def _walk(sl=sl):
-            o8 = o_ref[sl]
-            d8 = dir_ref[sl]
-            skip = skip_ref[sl]
-            ldist = ldist_ref[sl]
+            o8 = o_ref[:, sl].T
+            d8 = dir_ref[:, sl].T
+            skip = skip_ref[0:1, sl].T
+            ldist = ldist_ref[0:1, sl].T
 
             blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
             n_eff = neff_ref[0]
@@ -871,8 +891,9 @@ def _occlusion_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
             k0 = find_next(jnp.int32(0))
             _, _, visited = jax.lax.while_loop(
                 lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-            out_ref[sl] = blocked[:]
-            count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+            out_ref[0:1, sl] = blocked[:].T
+            count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited,
+                                          jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -890,8 +911,10 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
     if order is None:
         order = res["base_order"]
 
-    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
-    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    # lane-major boundary: (C_PAD, R) rays and (1, R) scalars are
+    # tile-dense on both the XLA and Mosaic sides (see _occlusion_kernel)
+    o8t = jnp.pad(o.T, ((0, C_PAD - d), (0, 0)))
+    d8t = jnp.pad(dirs.T, ((0, C_PAD - d), (0, 0)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
@@ -904,13 +927,13 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
         interpret=_interpret(),
         compiler_params=_cparams(_pool_bytes(res), _occ_stack_bytes(SB)),
         in_specs=[
-            pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
+            pl.BlockSpec((C_PAD, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, C_PAD), lambda i: (i, 0),
+            pl.BlockSpec((C_PAD, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # order
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_eff
@@ -927,21 +950,21 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, blive,
+    )(o8t, d8t, skip[None, :], ldist[None, :], order, n_eff, blive,
       klo_t, khi_t, res["gt"], res["ci"], res["ids"])
-    return out[:, 0] != 0, counts[::RAY_BLOCK, 0]
+    return out[0] != 0, counts[0, ::RAY_BLOCK]
 
 
 # ---------------------------------------------------------------------------
@@ -957,11 +980,13 @@ def _nearest_t_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                       opa_ref, out_t_ref, out_id_ref,
                       out_tt_ref, out_tid_ref, count_ref,
                       best_t, best_id, tt, tid):
+    # boundary refs are LANE-MAJOR (see nearest_hit): (1, R) scalars,
+    # (K, R) transparent slots; live walks transpose once in VMEM
     out_t_ref[:] = init_t_ref[:]
-    out_id_ref[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
-    out_tt_ref[:] = jnp.full((RAY_BLOCK, K), INF, f32)
-    out_tid_ref[:] = jnp.full((RAY_BLOCK, K), -1, jnp.int32)
-    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    out_id_ref[:] = jnp.full((1, RAY_BLOCK), -1, jnp.int32)
+    out_tt_ref[:] = jnp.full((K, RAY_BLOCK), INF, f32)
+    out_tid_ref[:] = jnp.full((K, RAY_BLOCK), -1, jnp.int32)
+    count_ref[:] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
     @pl.when(blive_ref[pl.program_id(0)] != 0)
     def _walk():
@@ -978,11 +1003,11 @@ def _nearest_t_live(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
                     opa_ref, out_t_ref, out_id_ref,
                     out_tt_ref, out_tid_ref, count_ref,
                     best_t, best_id, tt, tid):
-    o8 = o_ref[:]
-    d8 = dir_ref[:]
-    skip = skip_ref[:]
+    o8 = o_ref[:].T
+    d8 = dir_ref[:].T
+    skip = skip_ref[:].T
 
-    best_t[:] = init_t_ref[:]
+    best_t[:] = init_t_ref[:].T
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     tt[:] = jnp.full((RAY_BLOCK, K), INF, f32)
     tid[:] = jnp.full((RAY_BLOCK, K), -1, jnp.int32)
@@ -1042,11 +1067,11 @@ def _nearest_t_live(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     k0 = find_next(jnp.int32(0))
     _, _, visited = jax.lax.while_loop(
         lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-    out_t_ref[:] = best_t[:]
-    out_id_ref[:] = best_id[:]
-    out_tt_ref[:] = tt[:]
-    out_tid_ref[:] = tid[:]
-    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_t_ref[:] = best_t[:].T
+    out_id_ref[:] = best_id[:].T
+    out_tt_ref[:] = tt[:].T
+    out_tid_ref[:] = tid[:].T
+    count_ref[:] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d", "K"))
@@ -1064,8 +1089,9 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
     init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
     if active is not None:
         init_t = jnp.where(active, init_t, 0.0)
-    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
-    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    # lane-major boundary (see nearest_hit)
+    o8t = jnp.pad(o.T, ((0, C_PAD - d), (0, 0)))
+    d8t = jnp.pad(dirs.T, ((0, C_PAD - d), (0, 0)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     ci = res["ci"] if sh is None else sh
     klo_t, khi_t = _order_boxes(res, order, d)
@@ -1073,7 +1099,7 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
 
     blive = (jnp.max(init_t.reshape(ni, RAY_BLOCK), axis=1) > 0) \
         .astype(jnp.int32)
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.VMEM)
@@ -1083,8 +1109,8 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
         interpret=_interpret(),
         compiler_params=_cparams(_pool_bytes(res)),
         in_specs=[
-            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
-            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            blk((C_PAD, RAY_BLOCK)), blk((C_PAD, RAY_BLOCK)),
+            blk((1, RAY_BLOCK)), blk((1, RAY_BLOCK)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
@@ -1092,15 +1118,15 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
             full((nc, pr, ck)), full((nc, C_PAD, ck)),
             full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
         ],
-        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
-                   blk((RAY_BLOCK, K)), blk((RAY_BLOCK, K)),
-                   blk((RAY_BLOCK, 1))],
+        out_specs=[blk((1, RAY_BLOCK)), blk((1, RAY_BLOCK)),
+                   blk((K, RAY_BLOCK)), blk((K, RAY_BLOCK)),
+                   blk((1, RAY_BLOCK))],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, K), jnp.float32),
-            jax.ShapeDtypeStruct((R, K), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((K, R), jnp.float32),
+            jax.ShapeDtypeStruct((K, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
@@ -1108,14 +1134,18 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
             pltpu.VMEM((RAY_BLOCK, K), jnp.float32),
             pltpu.VMEM((RAY_BLOCK, K), jnp.int32),
         ],
-    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, blive,
+    )(o8t, d8t, skip[None, :], init_t[None, :], order, n_eff, blive,
       klo_t, khi_t, res["gt"], ci, res["ids"], res["opa"])
 
     slot_ids = res["ids"][:, 0, :].reshape(-1)
-    slot = out_id[:, 0]
+    slot = out_id[0]
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
-    tgid = jnp.where(out_tid >= 0, slot_ids[jnp.clip(out_tid, 0, None)], -1)
-    return out_t[:, 0], gid, out_tt, tgid, counts[::RAY_BLOCK, 0]
+    # slot->gid map runs in the lane-major (K, R) layout; the (R, K) row
+    # return stays for the callers (the transposed trace finish
+    # re-transposes and XLA cancels the pair)
+    tgidT = jnp.where(out_tid >= 0, slot_ids[jnp.clip(out_tid, 0, None)],
+                      -1)
+    return out_t[0], gid, out_tt.T, tgidT.T, counts[0, ::RAY_BLOCK]
 
 
 def _occl_t_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
@@ -1127,9 +1157,9 @@ def _occl_t_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
     # dominate block-sparse shadow batches)
     for sb in range(SB):
         sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
-        out_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-        filt_ref[sl] = jnp.ones((RAY_BLOCK, 1), f32)
-        count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        out_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
+        filt_ref[0:1, sl] = jnp.ones((1, RAY_BLOCK), f32)
+        count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
         @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
         def _walk(sl=sl):
@@ -1144,10 +1174,10 @@ def _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
                  gt_ref, ci_ref, ids_ref, opa_ref,
                  out_ref, filt_ref, count_ref,
                  blocked, filt):
-    o8 = o_ref[sl]
-    d8 = dir_ref[sl]
-    skip = skip_ref[sl]
-    ldist = ldist_ref[sl]
+    o8 = o_ref[:, sl].T
+    d8 = dir_ref[:, sl].T
+    skip = skip_ref[0:1, sl].T
+    ldist = ldist_ref[0:1, sl].T
 
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
@@ -1196,9 +1226,9 @@ def _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
     k0 = find_next(jnp.int32(0))
     _, _, visited = jax.lax.while_loop(
         lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-    out_ref[sl] = blocked[:]
-    filt_ref[sl] = filt[:]
-    count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_ref[0:1, sl] = blocked[:].T
+    filt_ref[0:1, sl] = filt[:].T
+    count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -1213,15 +1243,16 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]
-    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
-    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    # lane-major boundary (see nearest_hit)
+    o8t = jnp.pad(o.T, ((0, C_PAD - d), (0, 0)))
+    d8t = jnp.pad(dirs.T, ((0, C_PAD - d), (0, 0)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
     blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
         .astype(jnp.int32)
 
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.VMEM)
@@ -1231,8 +1262,8 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
         interpret=_interpret(),
         compiler_params=_cparams(_pool_bytes(res), _occ_stack_bytes(SB)),
         in_specs=[
-            blk((RB, C_PAD)), blk((RB, C_PAD)),
-            blk((RB, 1)), blk((RB, 1)),
+            blk((C_PAD, RB)), blk((C_PAD, RB)),
+            blk((1, RB)), blk((1, RB)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
@@ -1240,20 +1271,20 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
             full((nc, pr, ck)), full((nc, C_PAD, ck)),
             full((nc, C_PAD, ck)), full((nc, C_PAD, ck)),
         ],
-        out_specs=[blk((RB, 1)), blk((RB, 1)),
-                   blk((RB, 1))],
+        out_specs=[blk((1, RB)), blk((1, RB)),
+                   blk((1, RB))],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, blive,
+    )(o8t, d8t, skip[None, :], ldist[None, :], order, n_eff, blive,
       klo_t, khi_t, res["gt"], res["ci"], res["ids"], res["opa"])
-    return out[:, 0] != 0, filt[:, 0], counts[::RAY_BLOCK, 0]
+    return out[0] != 0, filt[0], counts[0, ::RAY_BLOCK]
 
 
 # ---------------------------------------------------------------------------
@@ -1360,11 +1391,12 @@ def _nearest_hbm_kernel(d, ck, shared, payload, probe, *refs):
         (out_t_ref, out_id_ref, count_ref, best_t, best_id,
          gt_buf, ci_buf, ids_buf, sems) = refs[13:]
         out_pay_ref = best_pay = None
+    # boundary refs are LANE-MAJOR (see nearest_hit)
     out_t_ref[:] = init_t_ref[:]
-    out_id_ref[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
-    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    out_id_ref[:] = jnp.full((1, RAY_BLOCK), -1, jnp.int32)
+    count_ref[:] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
     if out_pay_ref is not None:
-        out_pay_ref[:] = _miss_payload(out_pay_ref.shape[1], d)
+        out_pay_ref[:] = _miss_payload_t(out_pay_ref.shape[0], d)
 
     @pl.when(blive_ref[pl.program_id(0)] != 0)
     def _walk():
@@ -1391,11 +1423,11 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     fetched group.  All pl.when predicates are already-extracted scalars
     (position < SENT), which cost nothing."""
     del dmin_ref  # the emin bound subsumes the dmin check
-    o8 = o_ref[:]
-    d8 = dir_ref[:]
-    skip = skip_ref[:]
+    o8 = o_ref[:].T
+    d8 = dir_ref[:].T
+    skip = skip_ref[:].T
 
-    best_t[:] = init_t_ref[:]
+    best_t[:] = init_t_ref[:].T
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     if best_pay is not None:
         best_pay[:] = _miss_payload(best_pay.shape[1], d)
@@ -1489,11 +1521,11 @@ def _nearest_hbm_live(d, ck, shared, o_ref, dir_ref, skip_ref, init_t_ref,
     _, _, _, _, visited = jax.lax.while_loop(
         lambda s: s[3], body,
         (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
-    out_t_ref[:] = best_t[:]
-    out_id_ref[:] = best_id[:]
+    out_t_ref[:] = best_t[:].T
+    out_id_ref[:] = best_id[:].T
     if out_pay_ref is not None:
-        out_pay_ref[:] = best_pay[:]
-    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+        out_pay_ref[:] = best_pay[:].T
+    count_ref[:] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d", "payload", "probe", "raw_slot"))
@@ -1518,8 +1550,9 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
     init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
     if active is not None:
         init_t = jnp.where(active, init_t, 0.0)
-    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
-    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    # lane-major boundary (see nearest_hit)
+    o8t = jnp.pad(o.T, ((0, C_PAD - d), (0, 0)))
+    d8t = jnp.pad(dirs.T, ((0, C_PAD - d), (0, 0)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
@@ -1527,20 +1560,20 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
     blive = (jnp.max(init_t.reshape(ni, RAY_BLOCK), axis=1) > 0) \
         .astype(jnp.int32)
 
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     pw = payload_width(d)
-    out_specs = [blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1))]
-    out_shape = [jax.ShapeDtypeStruct((R, 1), jnp.float32),
-                 jax.ShapeDtypeStruct((R, 1), jnp.int32)]
+    out_specs = [blk((1, RAY_BLOCK)), blk((1, RAY_BLOCK))]
+    out_shape = [jax.ShapeDtypeStruct((1, R), jnp.float32),
+                 jax.ShapeDtypeStruct((1, R), jnp.int32)]
     scratch = [pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
                pltpu.VMEM((RAY_BLOCK, 1), jnp.int32)]
     if payload:
-        out_specs.append(blk((RAY_BLOCK, pw)))
-        out_shape.append(jax.ShapeDtypeStruct((R, pw), jnp.float32))
+        out_specs.append(blk((pw, RAY_BLOCK)))
+        out_shape.append(jax.ShapeDtypeStruct((pw, R), jnp.float32))
         scratch.append(pltpu.VMEM((RAY_BLOCK, pw), jnp.float32))
-    out_specs.append(blk((RAY_BLOCK, 1)))
-    out_shape.append(jax.ShapeDtypeStruct((R, 1), jnp.int32))
+    out_specs.append(blk((1, RAY_BLOCK)))
+    out_shape.append(jax.ShapeDtypeStruct((1, R), jnp.int32))
     scratch += [
         pltpu.VMEM((8, pr, ck), jnp.float32),
         pltpu.VMEM((8, C_PAD, ck), jnp.float32),
@@ -1553,8 +1586,8 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
         interpret=_interpret(),
         compiler_params=_cparams(),
         in_specs=[
-            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
-            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            blk((C_PAD, RAY_BLOCK)), blk((C_PAD, RAY_BLOCK)),
+            blk((1, RAY_BLOCK)), blk((1, RAY_BLOCK)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1570,19 +1603,19 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-    )(o8, d8, skip[:, None], init_t[:, None], order, dmin, n_eff, blive,
-      klo_t, khi_t, res["gt"], ci, res["ids"])
+    )(o8t, d8t, skip[None, :], init_t[None, :], order, dmin, n_eff,
+      blive, klo_t, khi_t, res["gt"], ci, res["ids"])
     if payload:
-        out_t, _out_id, out_pay, counts = outs
-        gid = out_pay[:, d + 1].astype(jnp.int32)
-        return out_t[:, 0], gid, out_pay, counts[::RAY_BLOCK, 0]
+        out_t, _out_id, out_payt, counts = outs
+        gid = out_payt[d + 1].astype(jnp.int32)
+        return out_t[0], gid, out_payt.T, counts[0, ::RAY_BLOCK]
     out_t, out_id, counts = outs
     if raw_slot:
-        return out_t[:, 0], out_id[:, 0], counts[::RAY_BLOCK, 0]
-    slot = out_id[:, 0]
+        return out_t[0], out_id[0], counts[0, ::RAY_BLOCK]
+    slot = out_id[0]
     slot_ids = res["ids"][:, 0, :].reshape(-1)
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
-    return out_t[:, 0], gid, counts[::RAY_BLOCK, 0]
+    return out_t[0], gid, counts[0, ::RAY_BLOCK]
 
 
 def _occl_hbm_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
@@ -1596,8 +1629,8 @@ def _occl_hbm_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
     # fetches before returning.
     for sb in range(SB):
         sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
-        out_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-        count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        out_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
+        count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
         @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
         def _walk(sl=sl):
@@ -1616,10 +1649,10 @@ def _occl_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
     8-slot deep prefetch as _nearest_hbm_kernel.  lmax = 0 once every ray
     resolves, so the candidate scan doubles as the liveness check; extra
     visits are exact (per-ray ``t < ldist`` filtering)."""
-    o8 = o_ref[sl]
-    d8 = dir_ref[sl]
-    skip = skip_ref[sl]
-    ldist = ldist_ref[sl]
+    o8 = o_ref[:, sl].T
+    d8 = dir_ref[:, sl].T
+    skip = skip_ref[0:1, sl].T
+    ldist = ldist_ref[0:1, sl].T
 
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     n_eff = neff_ref[0]
@@ -1688,8 +1721,8 @@ def _occl_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
     _, _, _, _, visited = jax.lax.while_loop(
         lambda s: s[3], body,
         (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
-    out_ref[sl] = blocked[:]
-    count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_ref[0:1, sl] = blocked[:].T
+    count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -1703,15 +1736,16 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
     RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]
-    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
-    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    # lane-major boundary (see nearest_hit)
+    o8t = jnp.pad(o.T, ((0, C_PAD - d), (0, 0)))
+    d8t = jnp.pad(dirs.T, ((0, C_PAD - d), (0, 0)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
 
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
     blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
         .astype(jnp.int32)
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     out, counts = pl.pallas_call(
         partial(_occl_hbm_kernel, d, ck, SB),
@@ -1719,8 +1753,8 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
         interpret=_interpret(),
         compiler_params=_cparams(stack_bytes=_occ_stack_bytes(SB)),
         in_specs=[
-            blk((RB, C_PAD)), blk((RB, C_PAD)),
-            blk((RB, 1)), blk((RB, 1)),
+            blk((C_PAD, RB)), blk((C_PAD, RB)),
+            blk((1, RB)), blk((1, RB)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
@@ -1732,10 +1766,10 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[blk((RB, 1)), blk((RB, 1))],
+        out_specs=[blk((1, RB)), blk((1, RB))],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
@@ -1744,9 +1778,9 @@ def occluded_hbm(res, o, dirs, ldist, skip, d, order=None):
             pltpu.VMEM((8, C_PAD, ck), jnp.int32),
             pltpu.SemaphoreType.DMA((8, 3)),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, blive,
+    )(o8t, d8t, skip[None, :], ldist[None, :], order, n_eff, blive,
       klo_t, khi_t, res["gt"], res["ci"], res["ids"])
-    return out[:, 0] != 0, counts[::RAY_BLOCK, 0]
+    return out[0] != 0, counts[0, ::RAY_BLOCK]
 
 
 # ---------------------------------------------------------------------------
@@ -1776,11 +1810,12 @@ def _nearest_t_hbm_kernel(d, ck, K, shared, o_ref, dir_ref, skip_ref,
                           out_t_ref, out_id_ref, out_tt_ref, out_tid_ref,
                           count_ref, best_t, best_id, tt, tid,
                           gt_buf, ci_buf, ids_buf, opa_buf, sems):
+    # boundary refs are LANE-MAJOR (see nearest_hit)
     out_t_ref[:] = init_t_ref[:]
-    out_id_ref[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
-    out_tt_ref[:] = jnp.full((RAY_BLOCK, K), INF, f32)
-    out_tid_ref[:] = jnp.full((RAY_BLOCK, K), -1, jnp.int32)
-    count_ref[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+    out_id_ref[:] = jnp.full((1, RAY_BLOCK), -1, jnp.int32)
+    out_tt_ref[:] = jnp.full((K, RAY_BLOCK), INF, f32)
+    out_tid_ref[:] = jnp.full((K, RAY_BLOCK), -1, jnp.int32)
+    count_ref[:] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
     @pl.when(blive_ref[pl.program_id(0)] != 0)
     def _walk():
@@ -1798,11 +1833,11 @@ def _nearest_t_hbm_live(d, ck, K, shared, o_ref, dir_ref, skip_ref,
                         out_t_ref, out_id_ref, out_tt_ref, out_tid_ref,
                         count_ref, best_t, best_id, tt, tid,
                         gt_buf, ci_buf, ids_buf, opa_buf, sems):
-    o8 = o_ref[:]
-    d8 = dir_ref[:]
-    skip = skip_ref[:]
+    o8 = o_ref[:].T
+    d8 = dir_ref[:].T
+    skip = skip_ref[:].T
 
-    best_t[:] = init_t_ref[:]
+    best_t[:] = init_t_ref[:].T
     best_id[:] = jnp.full((RAY_BLOCK, 1), -1, jnp.int32)
     tt[:] = jnp.full((RAY_BLOCK, K), INF, f32)
     tid[:] = jnp.full((RAY_BLOCK, K), -1, jnp.int32)
@@ -1894,11 +1929,11 @@ def _nearest_t_hbm_live(d, ck, K, shared, o_ref, dir_ref, skip_ref,
     _, _, _, _, visited = jax.lax.while_loop(
         lambda s: s[3], body,
         (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
-    out_t_ref[:] = best_t[:]
-    out_id_ref[:] = best_id[:]
-    out_tt_ref[:] = tt[:]
-    out_tid_ref[:] = tid[:]
-    count_ref[:] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_t_ref[:] = best_t[:].T
+    out_id_ref[:] = best_id[:].T
+    out_tt_ref[:] = tt[:].T
+    out_tid_ref[:] = tid[:].T
+    count_ref[:] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d", "K"))
@@ -1915,8 +1950,9 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
     init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
     if active is not None:
         init_t = jnp.where(active, init_t, 0.0)
-    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
-    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    # lane-major boundary (see nearest_hit)
+    o8t = jnp.pad(o.T, ((0, C_PAD - d), (0, 0)))
+    d8t = jnp.pad(dirs.T, ((0, C_PAD - d), (0, 0)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
@@ -1924,7 +1960,7 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
     blive = (jnp.max(init_t.reshape(ni, RAY_BLOCK), axis=1) > 0) \
         .astype(jnp.int32)
 
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     out_t, out_id, out_tt, out_tid, counts = pl.pallas_call(
         partial(_nearest_t_hbm_kernel, d, ck, K, sh is not None),
@@ -1932,8 +1968,8 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
         interpret=_interpret(),
         compiler_params=_cparams(),
         in_specs=[
-            blk((RAY_BLOCK, C_PAD)), blk((RAY_BLOCK, C_PAD)),
-            blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
+            blk((C_PAD, RAY_BLOCK)), blk((C_PAD, RAY_BLOCK)),
+            blk((1, RAY_BLOCK)), blk((1, RAY_BLOCK)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
@@ -1946,15 +1982,15 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
             pl.BlockSpec(memory_space=pl.ANY),       # ids (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # opa (HBM)
         ],
-        out_specs=[blk((RAY_BLOCK, 1)), blk((RAY_BLOCK, 1)),
-                   blk((RAY_BLOCK, K)), blk((RAY_BLOCK, K)),
-                   blk((RAY_BLOCK, 1))],
+        out_specs=[blk((1, RAY_BLOCK)), blk((1, RAY_BLOCK)),
+                   blk((K, RAY_BLOCK)), blk((K, RAY_BLOCK)),
+                   blk((1, RAY_BLOCK))],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, K), jnp.float32),
-            jax.ShapeDtypeStruct((R, K), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((K, R), jnp.float32),
+            jax.ShapeDtypeStruct((K, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.float32),
@@ -1967,14 +2003,17 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
             pltpu.VMEM((8, C_PAD, ck), jnp.float32),
             pltpu.SemaphoreType.DMA((8, 4)),
         ],
-    )(o8, d8, skip[:, None], init_t[:, None], order, n_eff, blive,
+    )(o8t, d8t, skip[None, :], init_t[None, :], order, n_eff, blive,
       klo_t, khi_t, res["gt"], ci, res["ids"], res["opa"])
 
     slot_ids = res["ids"][:, 0, :].reshape(-1)
-    slot = out_id[:, 0]
+    slot = out_id[0]
     gid = jnp.where(slot >= 0, slot_ids[jnp.clip(slot, 0, None)], -1)
-    tgid = jnp.where(out_tid >= 0, slot_ids[jnp.clip(out_tid, 0, None)], -1)
-    return out_t[:, 0], gid, out_tt, tgid, counts[::RAY_BLOCK, 0]
+    # slot->gid map in the lane-major (K, R) layout (see
+    # nearest_hit_transparent)
+    tgidT = jnp.where(out_tid >= 0, slot_ids[jnp.clip(out_tid, 0, None)],
+                      -1)
+    return out_t[0], gid, out_tt.T, tgidT.T, counts[0, ::RAY_BLOCK]
 
 
 def _occl_t_hbm_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
@@ -1986,9 +2025,9 @@ def _occl_t_hbm_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
     # SB sub-block batching: see _occlusion_kernel
     for sb in range(SB):
         sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
-        out_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-        filt_ref[sl] = jnp.ones((RAY_BLOCK, 1), f32)
-        count_ref[sl] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        out_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
+        filt_ref[0:1, sl] = jnp.ones((1, RAY_BLOCK), f32)
+        count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
         @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
         def _walk(sl=sl):
@@ -2008,10 +2047,10 @@ def _occl_t_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
                      sems):
     """HBM transparent occlusion: any-opaque-hit + transparency product
     with packed 4-candidate selection + deep prefetch."""
-    o8 = o_ref[sl]
-    d8 = dir_ref[sl]
-    skip = skip_ref[sl]
-    ldist = ldist_ref[sl]
+    o8 = o_ref[:, sl].T
+    d8 = dir_ref[:, sl].T
+    skip = skip_ref[0:1, sl].T
+    ldist = ldist_ref[0:1, sl].T
 
     blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
@@ -2091,9 +2130,9 @@ def _occl_t_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
     _, _, _, _, visited = jax.lax.while_loop(
         lambda s: s[3], body,
         (iv12, iv34, jnp.int32(0), iv12 // (SENT + 1) < SENT, jnp.int32(0)))
-    out_ref[sl] = blocked[:]
-    filt_ref[sl] = filt[:]
-    count_ref[sl] = jnp.full((RAY_BLOCK, 1), visited, jnp.int32)
+    out_ref[0:1, sl] = blocked[:].T
+    filt_ref[0:1, sl] = filt[:].T
+    count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -2107,15 +2146,16 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
     RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]
-    o8 = jnp.pad(o, ((0, 0), (0, C_PAD - d)))
-    d8 = jnp.pad(dirs, ((0, 0), (0, C_PAD - d)))
+    # lane-major boundary (see nearest_hit)
+    o8t = jnp.pad(o.T, ((0, C_PAD - d), (0, 0)))
+    d8t = jnp.pad(dirs.T, ((0, C_PAD - d), (0, 0)))
     n_eff = jnp.asarray(res["n_eff"], jnp.int32).reshape((1,))
     klo_t, khi_t = _order_boxes(res, order, d)
     ncp = klo_t.shape[1]
     blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
         .astype(jnp.int32)
 
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0),
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     out, filt, counts = pl.pallas_call(
         partial(_occl_t_hbm_kernel, d, ck, SB),
@@ -2123,8 +2163,8 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
         interpret=_interpret(),
         compiler_params=_cparams(stack_bytes=_occ_stack_bytes(SB)),
         in_specs=[
-            blk((RB, C_PAD)), blk((RB, C_PAD)),
-            blk((RB, 1)), blk((RB, 1)),
+            blk((C_PAD, RB)), blk((C_PAD, RB)),
+            blk((1, RB)), blk((1, RB)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # blive
@@ -2137,12 +2177,12 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[blk((RB, 1)), blk((RB, 1)),
-                   blk((RB, 1))],
+        out_specs=[blk((1, RB)), blk((1, RB)),
+                   blk((1, RB))],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((RAY_BLOCK, 1), jnp.int32),
@@ -2153,6 +2193,6 @@ def occluded_transparent_hbm(res, o, dirs, ldist, skip, d, order=None):
             pltpu.VMEM((8, C_PAD, ck), jnp.float32),
             pltpu.SemaphoreType.DMA((8, 4)),
         ],
-    )(o8, d8, skip[:, None], ldist[:, None], order, n_eff, blive,
+    )(o8t, d8t, skip[None, :], ldist[None, :], order, n_eff, blive,
       klo_t, khi_t, res["gt"], res["ci"], res["ids"], res["opa"])
-    return out[:, 0] != 0, filt[:, 0], counts[::RAY_BLOCK, 0]
+    return out[0] != 0, filt[0], counts[0, ::RAY_BLOCK]

