@@ -228,7 +228,10 @@ def main():
             o, dirs = wavefront.make_rays(
                 axis_cam[0], axis_cam[1], fovp[0], fovp[1], fovp[2],
                 xs, ys)
-            return o + dirs
+            # reduce instead of returning (R, d): a row-shaped OUTPUT
+            # would pay the (8, 128)-tile padding materialization the
+            # production path never does (the kernels take (d, R))
+            return jnp.sum(o, axis=0) + jnp.sum(dirs, axis=0)
 
         n_tiles = -(-(W * H) // wavefront.TILE)
         from ntracer_tpu.engine import packing as _packing
