@@ -330,9 +330,9 @@ def trace_pool(arrs, cfg: SceneConfig, o, dirs, skip, shared_origin=None,
         if transposed:
             # transposed finish: gather + hit geometry on (k, R) tensors
             # (same values; see the transposed-pipeline block above).
-            # Callers guarantee K == 0 and no prim sharding; solids are
-            # folded in by _trace_finish_T.
-            assert K == 0 and cfg.prim_axis is None
+            # Callers guarantee K == 0; solids and the prim-shard winner
+            # merge are folded in by _trace_finish_T.
+            assert K == 0
             kt, slot, vis = nearest(res_k, o, dirs, skip_local, d,
                                     order=order, dmin=dmin, active=active,
                                     sh=sh, raw_slot=True)
@@ -577,6 +577,10 @@ def _trace_finish_T(arrs, cfg, o, dirs, skip, res, K):
         res["mat"] = jnp.where(so_valid, arrs["sol_mat"][s], res["mat"])
         if K:
             str_valid = svalid & ~s_opaque
+            if cfg.prim_axis is not None:
+                # solids are replicated across pool shards; insert once so
+                # the cross-shard K-merge doesn't duplicate them
+                str_valid &= jax.lax.axis_index(cfg.prim_axis) == 0
             tins = jnp.where(str_valid, st, INF)
             allt = jnp.concatenate([res["ttT"], tins[None, :]], axis=0)
             alli = jnp.concatenate(
@@ -585,10 +589,11 @@ def _trace_finish_T(arrs, cfg, o, dirs, skip, res, K):
             res["ttT"] = jnp.take_along_axis(allt, order, axis=0)
             res["tidT"] = jnp.take_along_axis(alli, order, axis=0)
 
-    res["hit"] = res["pid"] >= 0
     if K:
         # per-slot payload (view-facing normal + material) as ONE packed
-        # (d+1, K, R) row gather — R stays on the lane axis throughout
+        # (d+1, K, R) row gather — R stays on the lane axis throughout.
+        # Gathered BEFORE the cross-shard merge (like _trace_finish):
+        # slot ids index this shard's local pool.
         tid = res["tidT"]
         local = jnp.clip(tid - arrs["tri_base"], 0, cfg.n_tris - 1)
         rows = arrs["tri_pack"].T[:, local]               # (d+1, K, R)
@@ -601,10 +606,46 @@ def _trace_finish_T(arrs, cfg, o, dirs, skip, res, K):
             sel = tid == (arrs["sol_base"] + s)
             tnorm = jnp.where(sel[None, :, :], sn.T[:, None, :], tnorm)
             tmat = jnp.where(sel, arrs["sol_mat"][s], tmat)
-        tvalid = (tid >= 0) & (res["ttT"] < res["t"][None, :])
-        res["tidT"] = jnp.where(tvalid, tid, -1)
         res["tnormT"] = tnorm
         res["tmatT"] = tmat
+
+    if cfg.prim_axis is not None:
+        # tensor-parallel pool, lane-major twin of _trace_finish's merge:
+        # all_gather keeps R on the minor axis ((P, R) / (P, k, R)), the
+        # global winner is an argmin over the leading shard axis.
+        winner = {"t": res["t"], "pid": res["pid"], "mat": res["mat"],
+                  "pointT": res["pointT"], "normalT": res["normalT"]}
+        g = {k: jax.lax.all_gather(v, cfg.prim_axis)
+             for k, v in winner.items()}
+        w = jnp.argmin(g["t"], axis=0)                       # (R,)
+        for k, v in g.items():
+            idx = w[None, None, :] if v.ndim == 3 else w[None, :]
+            res[k] = jnp.take_along_axis(v, idx, axis=0)[0]
+
+        if K:
+            # merge the K-buffers (with payload) across shards: stable
+            # sort of the same candidate sequence as the row path
+            # ([shard0 slots..., shard1 slots...] per ray) => the same
+            # permutation, values unchanged.
+            def merge(key):
+                v = jax.lax.all_gather(res[key], cfg.prim_axis)
+                if v.ndim == 4:                              # (P, d, K, R)
+                    v = v.transpose(1, 0, 2, 3)
+                    return v.reshape(v.shape[0], -1, R)      # (d, P*K, R)
+                return v.reshape(-1, R)                      # (P*K, R)
+
+            allt = merge("ttT")
+            order = jnp.argsort(allt, axis=0)[:K]
+            res["ttT"] = jnp.take_along_axis(allt, order, axis=0)
+            res["tidT"] = jnp.take_along_axis(merge("tidT"), order, axis=0)
+            res["tmatT"] = jnp.take_along_axis(merge("tmatT"), order, axis=0)
+            res["tnormT"] = jnp.take_along_axis(
+                merge("tnormT"), order[None, :, :], axis=1)
+
+    res["hit"] = res["pid"] >= 0
+    if K:
+        tvalid = (res["tidT"] >= 0) & (res["ttT"] < res["t"][None, :])
+        res["tidT"] = jnp.where(tvalid, res["tidT"], -1)
     return res
 
 
@@ -1224,15 +1265,15 @@ def _ray_colors_T(arrs, cfg: SceneConfig, dyn, o, dirs, with_stats, pctx,
 
 def _transposed_ok(arrs, cfg, R):
     """The transposed pipeline serves every kernel-path scene —
-    camera/lit/reflective, solids, and transparent (round 5: the row
+    camera/lit/reflective, solids, transparent (round 5: the row
     twins of the K-buffer compose and the solids finish paid the
-    measured 5-12x row-layout penalty) — except prim-sharded pools
-    (the cross-shard winner merge is still row layout);
+    measured 5-12x row-layout penalty) and prim-sharded pools (the
+    cross-shard winner merge all_gathers lane-major (P, k, R) tensors;
+    _trace_finish_T);
     NTRACER_NO_TRANSPOSED=1 forces the row path for A/Bs."""
     import os as _os
     if _os.environ.get("NTRACER_PAYLOAD") \
-            or _os.environ.get("NTRACER_NO_TRANSPOSED") \
-            or cfg.prim_axis is not None:
+            or _os.environ.get("NTRACER_NO_TRANSPOSED"):
         return False
     if cfg.has_transparency:
         return _kernel2t_ok(arrs, cfg, R) and "tri_pack" in arrs

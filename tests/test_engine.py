@@ -932,3 +932,81 @@ def test_transposed_lights_no_shadows_matches_oracle(monkeypatch):
         monkeypatch.delenv("NTRACER_NO_TRANSPOSED")
         wavefront._render_tile_composite.clear_cache()
     np.testing.assert_allclose(eng_t, eng_row, atol=2e-5)
+
+
+def test_prim_sharded_transposed_matches_row_and_single(monkeypatch):
+    """Round 5: prim-sharded pools ride the transposed (k, R) pipeline —
+    the cross-shard winner merge all_gathers lane-major (P, k, R)
+    tensors (wavefront._trace_finish_T).  A transparent+solids+shadows
+    scene exercises every merge arm: the winner argmin, the K-buffer
+    shard merge (same stable-sort candidate order as the row path), and
+    the solids insert-once guard.  The transposed sharded render must
+    match the row-path sharded render AND the single-device render."""
+    import jax
+    from ntracer_tpu.parallel import mesh as pmesh
+    from ntracer_tpu.engine import wavefront
+    from ntracer_tpu.primitives import CUBE, SPHERE
+    from ntracer_tpu.kdnodes import KDLeaf
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+
+    nt = NTracer(3)
+    mat_t = Material((0.9, 0.7, 0.4), opacity=0.45)
+    rng = np.random.RandomState(41)
+    protos = []
+    for i in range(600):
+        m = mat_t if i % 10 == 0 else Material((1, 0.5, 0.5))
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.8, 0.8, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, m))
+    # solids hand-built into one leaf (reference build-time solid
+    # placement is defective, PARITY.md defects 6/9)
+    protos.append(nt.SolidPrototype(
+        CUBE, nt.Vector(0.5, 0, -2), nt.Matrix.identity(),
+        Material((0.4, 0.9, 0.6), opacity=0.5)))
+    protos.append(nt.SolidPrototype(
+        SPHERE, nt.Vector(-1.5, 0.5, -1), nt.Matrix.identity(),
+        Material((0.9, 0.4, 0.6))))
+    scene = nt.CompositeScene(
+        nt.AABB((-6, -6, -6), (6, 6, 6)),
+        KDLeaf([p.primitive for p in protos]))
+    cam = nt.Camera()
+    cam.translate(nt.Vector.axis(2, -8))
+    scene.set_camera(cam)
+    scene.add_light(nt.PointLight(nt.Vector(0, 4, -4), (1, 0.8, 0.6)))
+    scene.set_shadows(True)
+
+    w = h = 32
+    fmt = _Fmt(w, h)
+    scene._set_view_size(w, h)
+    single = np.asarray(wavefront.render_strip_composite(scene, fmt, 0, h))
+
+    m = pmesh.make_mesh(2, 2)           # px x prim
+
+    # prove the transposed pipeline actually engages under prim sharding
+    calls = []
+    orig = wavefront._ray_colors_T
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(wavefront, "_ray_colors_T", spy)
+    sharded_t = np.asarray(pmesh.render_frame(scene, fmt, m))
+    assert calls, "prim-sharded render must take the transposed pipeline"
+
+    # row-path twin of the same sharded program (the mesh cache does not
+    # key on the env knob; drop it so the row build re-traces)
+    scene._mesh_cache = None
+    monkeypatch.setenv("NTRACER_NO_TRANSPOSED", "1")
+    try:
+        sharded_row = np.asarray(pmesh.render_frame(scene, fmt, m))
+    finally:
+        monkeypatch.delenv("NTRACER_NO_TRANSPOSED")
+        scene._mesh_cache = None
+
+    np.testing.assert_allclose(sharded_t, sharded_row, atol=2e-5)
+    np.testing.assert_allclose(sharded_t, single, atol=2e-5)
