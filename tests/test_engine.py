@@ -934,21 +934,25 @@ def test_transposed_lights_no_shadows_matches_oracle(monkeypatch):
     np.testing.assert_allclose(eng_t, eng_row, atol=2e-5)
 
 
-def test_prim_sharded_transposed_matches_row_and_single(monkeypatch):
+@pytest.mark.parametrize("n_px,n_prim", [(2, 2), (2, 4)])
+def test_prim_sharded_transposed_matches_row_and_single(
+        monkeypatch, n_px, n_prim):
     """Round 5: prim-sharded pools ride the transposed (k, R) pipeline —
     the cross-shard winner merge all_gathers lane-major (P, k, R)
     tensors (wavefront._trace_finish_T).  A transparent+solids+shadows
     scene exercises every merge arm: the winner argmin, the K-buffer
     shard merge (same stable-sort candidate order as the row path), and
     the solids insert-once guard.  The transposed sharded render must
-    match the row-path sharded render AND the single-device render."""
+    match the row-path sharded render AND the single-device render.
+    The 2x4 case runs the merge at P=4 (4*K merge candidates, pool
+    padded to 4 shards); its row twin is skipped to bound runtime."""
     import jax
     from ntracer_tpu.parallel import mesh as pmesh
     from ntracer_tpu.engine import wavefront
     from ntracer_tpu.primitives import CUBE, SPHERE
     from ntracer_tpu.kdnodes import KDLeaf
 
-    if len(jax.devices()) < 4:
+    if len(jax.devices()) < n_px * n_prim:
         pytest.skip("not enough devices")
     monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
 
@@ -984,7 +988,7 @@ def test_prim_sharded_transposed_matches_row_and_single(monkeypatch):
     scene._set_view_size(w, h)
     single = np.asarray(wavefront.render_strip_composite(scene, fmt, 0, h))
 
-    m = pmesh.make_mesh(2, 2)           # px x prim
+    m = pmesh.make_mesh(n_px, n_prim)   # px x prim
 
     # prove the transposed pipeline actually engages under prim sharding
     calls = []
@@ -998,15 +1002,16 @@ def test_prim_sharded_transposed_matches_row_and_single(monkeypatch):
     sharded_t = np.asarray(pmesh.render_frame(scene, fmt, m))
     assert calls, "prim-sharded render must take the transposed pipeline"
 
-    # row-path twin of the same sharded program (the mesh cache does not
-    # key on the env knob; drop it so the row build re-traces)
-    scene._mesh_cache = None
-    monkeypatch.setenv("NTRACER_NO_TRANSPOSED", "1")
-    try:
-        sharded_row = np.asarray(pmesh.render_frame(scene, fmt, m))
-    finally:
-        monkeypatch.delenv("NTRACER_NO_TRANSPOSED")
+    if n_prim == 2:
+        # row-path twin of the same sharded program (the mesh cache does
+        # not key on the env knob; drop it so the row build re-traces)
         scene._mesh_cache = None
+        monkeypatch.setenv("NTRACER_NO_TRANSPOSED", "1")
+        try:
+            sharded_row = np.asarray(pmesh.render_frame(scene, fmt, m))
+        finally:
+            monkeypatch.delenv("NTRACER_NO_TRANSPOSED")
+            scene._mesh_cache = None
+        np.testing.assert_allclose(sharded_t, sharded_row, atol=2e-5)
 
-    np.testing.assert_allclose(sharded_t, sharded_row, atol=2e-5)
     np.testing.assert_allclose(sharded_t, single, atol=2e-5)
