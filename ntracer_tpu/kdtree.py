@@ -505,39 +505,51 @@ GROUP_WINDOW = 96  # candidate-scan bound; tests compare vs unbounded
 def group_primitives(primitives):
     """Greedy grouping of TrianglePrototypes into TriangleBatchPrototypes
     minimizing combined-AABB surface.  Returns a new list."""
-    if BATCH_SIZE <= 1 or not primitives:
+    if BATCH_SIZE <= 1 or not len(primitives):
         return list(primitives)
 
-    # AABB rows for every prototype, fancy-indexed from the shared source
-    # arrays when all prototypes come from one batch_from_points call.
-    # ONE pass collects the source ids, row indices and triangle flags
-    # (four separate comprehensions here were ~2 s of a 300k build).
-    src0 = getattr(primitives[0], "_src", None)
-    rows0_list = []
-    is_tri0 = []
-    shared = src0 is not None
-    for p in primitives:
-        is_tri0.append(isinstance(p, TrianglePrototype))
-        if shared:
-            s = getattr(p, "_src", None)
-            if s is None or s[0] is not src0[0]:
-                shared = False
-            else:
-                rows0_list.append(s[1])
-    if shared:
-        rows0 = np.asarray(rows0_list)
-        starts0 = src0[0]["lo"][rows0]
-        ends0 = src0[0]["hi"][rows0]
+    # Lazy batch_from_points sequence: all-triangle, one shared source,
+    # row i == index i — no object is touched at all on this path; only
+    # the handful of prototypes left ungrouped are materialized at the
+    # end (round 5: the 300k build's last ~3 s was exactly this
+    # object-materialization, VERDICT-r4 #4).
+    lazy = getattr(primitives, "_src_arrays", None)
+    if lazy is not None:
+        starts0 = lazy["lo"]
+        ends0 = lazy["hi"]
+        is_tri0 = None
     else:
-        starts0 = np.stack([p.boundary._start for p in primitives])
-        ends0 = np.stack([p.boundary._end for p in primitives])
+        # AABB rows for every prototype, fancy-indexed from the shared
+        # source arrays when all prototypes come from one
+        # batch_from_points call.  ONE pass collects the source ids, row
+        # indices and triangle flags (four separate comprehensions here
+        # were ~2 s of a 300k build).
+        src0 = getattr(primitives[0], "_src", None)
+        rows0_list = []
+        is_tri0 = []
+        shared = src0 is not None
+        for p in primitives:
+            is_tri0.append(isinstance(p, TrianglePrototype))
+            if shared:
+                s = getattr(p, "_src", None)
+                if s is None or s[0] is not src0[0]:
+                    shared = False
+                else:
+                    rows0_list.append(s[1])
+        if shared:
+            rows0 = np.asarray(rows0_list)
+            starts0 = src0[0]["lo"][rows0]
+            ends0 = src0[0]["hi"][rows0]
+        else:
+            starts0 = np.stack([p.boundary._start for p in primitives])
+            ends0 = np.stack([p.boundary._end for p in primitives])
 
     axis = best_axis(starts0.min(axis=0), ends0.max(axis=0))
 
     # stable center sort (same key and tie order as sorted(key=center))
     centers = (starts0[:, axis] + ends0[:, axis]) * f32(0.5)
     perm = np.argsort(centers, kind="stable")
-    items = [primitives[i] for i in perm]
+    items = None if lazy is not None else [primitives[i] for i in perm]
     starts = starts0[perm]
     ends = ends0[perm]
 
@@ -578,9 +590,10 @@ def group_primitives(primitives):
     # 22 s of a 27 s 300k-triangle scene build).  Selection order,
     # tie-breaking (stable sort = (metric, index)), and the early-exit
     # rule are IDENTICAL to the per-item loop this replaces.
-    n = len(items)
+    n = len(perm)
     # permute the single-pass flags rather than re-test 300k types
-    is_tri = [is_tri0[i] for i in perm]
+    is_tri = (np.ones(n, np.uint8) if lazy is not None
+              else [is_tri0[i] for i in perm])
 
     # the selection loop lives in the native builder library when
     # available (ntr_group_select, bit-for-bit the same decisions —
@@ -624,20 +637,19 @@ def group_primitives(primitives):
                 unlink(j)
 
     if not groups:
+        if lazy is not None:
+            return [primitives[int(i)] for i in perm]
         return list(items)
 
     # one vectorized construction pass for every batch
-    tri_idx = [i for i in range(n) if is_tri[i]]
-    pos = {i: k for k, i in enumerate(tri_idx)}
-    srcs = {id(items[i]._src[0]) for i in tri_idx
-            if getattr(items[i], "_src", None) is not None}
-    if len(srcs) == 1 and all(getattr(items[i], "_src", None) is not None
-                              for i in tri_idx):
-        # batch_from_points fast path: every prototype's fields are rows
-        # of ONE shared array set — fancy-index it instead of stacking
-        # 300k small views (~3 s at 300k triangles)
-        src = items[tri_idx[0]]._src[0]
-        rows = np.asarray([items[i]._src[1] for i in tri_idx])
+    garr = np.asarray(groups)
+    if lazy is not None:
+        # lazy input: all triangles, source row == original index
+        src = lazy
+        rows = perm
+        gi = garr
+        shared_mats = ((primitives._mat,) * BATCH_SIZE
+                       if primitives._mats is None else None)
         p1_all = src["p1"][rows]
         fn_all = src["fn"][rows]
         en_all = src["en"][rows]
@@ -645,45 +657,123 @@ def group_primitives(primitives):
         pt_all = src["pts"][rows]
         fe_all = src["fen"][rows]
     else:
-        p1_all = np.stack([items[i].primitive._p1 for i in tri_idx])
-        fn_all = np.stack([items[i].primitive._fn for i in tri_idx])
-        en_all = np.stack([items[i].primitive._en for i in tri_idx])
-        dv_all = np.asarray([items[i].primitive._d for i in tri_idx],
-                            dtype=f32)
-        pt_all = np.stack([items[i]._points for i in tri_idx])
-        fe_all = np.stack([items[i]._first_edge_normal for i in tri_idx])
+        shared_mats = None
+        tri_idx = [i for i in range(n) if is_tri[i]]
+        pos = {i: k for k, i in enumerate(tri_idx)}
+        srcs = {id(items[i]._src[0]) for i in tri_idx
+                if getattr(items[i], "_src", None) is not None}
+        if len(srcs) == 1 and all(getattr(items[i], "_src", None) is not None
+                                  for i in tri_idx):
+            # batch_from_points fast path: every prototype's fields are
+            # rows of ONE shared array set — fancy-index it instead of
+            # stacking 300k small views (~3 s at 300k triangles)
+            src = items[tri_idx[0]]._src[0]
+            rows = np.asarray([items[i]._src[1] for i in tri_idx])
+            p1_all = src["p1"][rows]
+            fn_all = src["fn"][rows]
+            en_all = src["en"][rows]
+            dv_all = src["d"][rows]
+            pt_all = src["pts"][rows]
+            fe_all = src["fen"][rows]
+        else:
+            p1_all = np.stack([items[i].primitive._p1 for i in tri_idx])
+            fn_all = np.stack([items[i].primitive._fn for i in tri_idx])
+            en_all = np.stack([items[i].primitive._en for i in tri_idx])
+            dv_all = np.asarray([items[i].primitive._d for i in tri_idx],
+                                dtype=f32)
+            pt_all = np.stack([items[i]._points for i in tri_idx])
+            fe_all = np.stack([items[i]._first_edge_normal
+                               for i in tri_idx])
+        gi = np.asarray([[pos[j] for j in chosen] for chosen in groups])
 
-    gi = np.asarray([[pos[j] for j in chosen] for chosen in groups])
     g_p1 = p1_all[gi]                       # (G, B, d)
     g_fn = fn_all[gi]
     g_en = en_all[gi].transpose(0, 2, 1, 3)  # (G, d-1, B, d)
     g_dv = dv_all[gi]
     g_pt = pt_all[gi].transpose(0, 2, 1, 3)  # (G, d, B, d)
     g_fe = fe_all[gi]
-    g_lo = starts[np.asarray(groups)].min(axis=1).astype(f32)
-    g_hi = ends[np.asarray(groups)].max(axis=1).astype(f32)
+    g_lo = starts[garr].min(axis=1).astype(f32)
+    g_hi = ends[garr].max(axis=1).astype(f32)
 
     from .primitives import TriangleBatch
-    out = list(items)
+    batch_objs = []
     for g, chosen in enumerate(groups):
         batch = TriangleBatch.__new__(TriangleBatch)
         batch._p1 = g_p1[g]
         batch._fn = g_fn[g]
         batch._en = g_en[g]
         batch._d = g_dv[g]
-        batch._materials = tuple(items[j].primitive._material
-                                 for j in chosen)
+        batch._materials = (shared_mats if shared_mats is not None else
+                            tuple((primitives._mats[int(perm[j])]
+                                   if lazy is not None
+                                   else items[j].primitive._material)
+                                  for j in chosen))
         bp = TriangleBatchPrototype.__new__(TriangleBatchPrototype)
         bp.primitive = batch
         bp.boundary = AABB._wrap(g_lo[g], g_hi[g])
-        bp._protos = [items[j] for j in chosen]
+        # the member prototypes; unread internally — kept None on the
+        # lazy path so grouping never materializes per-triangle objects
+        bp._protos = None if lazy is not None else [items[j]
+                                                    for j in chosen]
         bp._points = g_pt[g]
         bp._first_edge_normal = g_fe[g]
-        out[chosen[0]] = bp
-        for j in chosen[1:]:
-            out[j] = None
+        batch_objs.append(bp)
 
-    return [p for p in out if p is not None]
+    if lazy is None:
+        out = list(items)
+        for g, chosen in enumerate(groups):
+            out[chosen[0]] = batch_objs[g]
+            for j in chosen[1:]:
+                out[j] = None
+        return [p for p in out if p is not None]
+
+    # lazy output: keep pivot slots (→ batch) + unconsumed slots
+    # (→ materialized leftover prototypes, at most ~WINDOW+BATCH of
+    # them), and attach the native builder's input arrays so
+    # build_tree_native never walks the objects either
+    slot = np.full(n, -1, np.int64)
+    slot[garr[:, 0]] = np.arange(len(groups))
+    consumed = np.zeros(n, bool)
+    consumed[garr.ravel()] = True
+    kidx = np.flatnonzero((slot >= 0) | ~consumed)
+    out = GroupedPrototypeList(
+        batch_objs[slot[i]] if slot[i] >= 0 else primitives[int(perm[i])]
+        for i in kidx)
+
+    isb = slot[kidx] >= 0
+    n_out = len(kidx)
+    d = starts.shape[1]
+    tri_count = np.where(isb, BATCH_SIZE, 1).astype(np.int32)
+    off = np.zeros(n_out + 1, np.int64)
+    np.cumsum(tri_count, out=off[1:])
+    lane_rows = np.empty(off[-1], np.int64)
+    bsel = np.flatnonzero(isb)
+    if len(bsel):
+        lanes = off[bsel][:, None] + np.arange(BATCH_SIZE)
+        lane_rows[lanes.ravel()] = perm[garr[slot[kidx[bsel]]]].ravel()
+    ssel = np.flatnonzero(~isb)
+    if len(ssel):
+        lane_rows[off[ssel]] = perm[kidx[ssel]]
+    ent_lo = np.empty((n_out, d), f32)
+    ent_hi = np.empty((n_out, d), f32)
+    ent_lo[isb] = g_lo[slot[kidx[bsel]]] if len(bsel) else 0
+    ent_hi[isb] = g_hi[slot[kidx[bsel]]] if len(bsel) else 0
+    ent_lo[~isb] = starts[kidx[ssel]] if len(ssel) else 0
+    ent_hi[~isb] = ends[kidx[ssel]] if len(ssel) else 0
+    out._assembly = dict(src=lazy, b_start=ent_lo, b_end=ent_hi,
+                         tri_count=tri_count, lane_rows=lane_rows)
+    return out
+
+
+class GroupedPrototypeList(list):
+    """group_primitives output on the lazy path: a plain list of grouped
+    prototypes plus ``_assembly`` — the native SAH builder's input arrays
+    (per-entry AABBs, member counts, and source-row indices for the
+    per-lane triangle data), precomputed here where everything is already
+    in array form so native.build_tree_native skips its per-object
+    stacking pass."""
+
+    _assembly = None
 
 
 def build_tree(prototypes, params: KDTreeParams, make_leaf, make_branch,
@@ -692,13 +782,21 @@ def build_tree(prototypes, params: KDTreeParams, make_leaf, make_branch,
 
     Returns ``(b_start, b_end, root, grouped_prototypes)``.
     """
-    if not prototypes:
+    if not len(prototypes):
         raise ValueError("cannot build tree from empty sequence")
-    b_start = prototypes[0].boundary._start.copy()
-    b_end = prototypes[0].boundary._end.copy()
-    for p in prototypes[1:]:
-        b_start = np.minimum(b_start, p.boundary._start)
-        b_end = np.maximum(b_end, p.boundary._end)
+    src = getattr(prototypes, "_src_arrays", None)
+    if src is not None:
+        # lazy batch_from_points sequence: merge the AABB rows directly.
+        # ufunc.reduce is the same sequential left fold as the object
+        # loop below, so the result is bit-identical (incl. ±0.0 ties).
+        b_start = np.minimum.reduce(src["lo"], axis=0)
+        b_end = np.maximum.reduce(src["hi"], axis=0)
+    else:
+        b_start = prototypes[0].boundary._start.copy()
+        b_end = prototypes[0].boundary._end.copy()
+        for p in prototypes[1:]:
+            b_start = np.minimum(b_start, p.boundary._start)
+            b_end = np.maximum(b_end, p.boundary._end)
 
     grouped = group_primitives(prototypes) if group else list(prototypes)
 

@@ -133,6 +133,34 @@ def build_tree_native(prototypes, params, make_leaf, make_branch,
     if lib is None:
         return None
 
+    asm = getattr(prototypes, "_assembly", None)
+    if asm is not None:
+        # group_primitives' lazy path precomputed every input array
+        # (all-triangle by construction — no solids, no SOLID_AABB_EXACT
+        # concern); skip the per-object assembly loop entirely
+        src = asm["src"]
+        n = len(prototypes)
+        d = src["pts"].shape[2]
+        b_start = np.ascontiguousarray(asm["b_start"], f32)
+        b_end = np.ascontiguousarray(asm["b_end"], f32)
+        kind = np.zeros(n, np.int32)
+        tri_count = np.ascontiguousarray(asm["tri_count"], np.int32)
+        tri_offset = np.zeros(n, np.int32)
+        np.cumsum(tri_count[:-1], out=tri_offset[1:])
+        rows = asm["lane_rows"]
+        pts = np.ascontiguousarray(src["pts"][rows], f32)
+        axes = np.empty((len(rows), d, d), f32)
+        axes[:, 0] = src["fen"][rows]
+        axes[:, 1:] = src["en"][rows]
+        fnormal = np.ascontiguousarray(src["fn"][rows], f32)
+        sol_orient = np.zeros((n, d, d), f32)
+        sol_inv = np.zeros((n, d, d), f32)
+        sol_pos = np.zeros((n, d), f32)
+        return _ntr_build_call(lib, prototypes, n, d, b_start, b_end, kind,
+                               tri_offset, tri_count, pts, axes, fnormal,
+                               sol_orient, sol_inv, sol_pos, params,
+                               make_leaf, make_branch, extra_threads)
+
     from . import kdtree as _kdtree
     if _kdtree.SOLID_AABB_EXACT and any(
             isinstance(p, SolidPrototype) for p in prototypes):
@@ -228,6 +256,17 @@ def build_tree_native(prototypes, params, make_leaf, make_branch,
     b_start = np.ascontiguousarray(b_start)
     b_end = np.ascontiguousarray(b_end)
 
+    return _ntr_build_call(lib, prototypes, n, d, b_start, b_end, kind,
+                           tri_offset, tri_count, pts, axes, fnormal,
+                           sol_orient, sol_inv, sol_pos, params,
+                           make_leaf, make_branch, extra_threads)
+
+
+def _ntr_build_call(lib, prototypes, n, d, b_start, b_end, kind, tri_offset,
+                    tri_count, pts, axes, fnormal, sol_orient, sol_inv,
+                    sol_pos, params, make_leaf, make_branch, extra_threads):
+    """Shared tail of build_tree_native: the ntr_build ctypes call and the
+    make_leaf/make_branch node construction over its output."""
     root_out = np.zeros(1, np.int32)
     h = lib.ntr_build(
         n, d, _fp(b_start), _fp(b_end), _ip(kind), _ip(tri_offset),

@@ -507,16 +507,27 @@ def _append_specular(specular, spec_a, m, mspec, light_c, target_dir, normal,
 def _build(primitives, extra_threads, max_depth, split_threshold,
            traversal_cost, intersection_cost, update_primitives,
            primitives_arg):
-    protos = list(primitives)
-    if not protos:
-        raise ValueError("cannot build tree from empty sequence")
-    for p in protos:
-        if not isinstance(p, PrimitivePrototype):
-            raise TypeError("objects must be PrimitivePrototype instances")
-    d = protos[0].dimension
-    for p in protos[1:]:
-        if p.dimension != d:
-            raise TypeError("the primitive prototypes must all have the same dimension")
+    from .primitives import TrianglePrototypeSequence
+    if isinstance(primitives, TrianglePrototypeSequence):
+        # lazy batch_from_points output: homogeneous TrianglePrototypes
+        # of one dimension by construction — skip the two 300k-object
+        # validation loops and keep the sequence lazy for the array
+        # fast paths downstream (kdtree.build_tree / group_primitives)
+        protos = primitives
+        if not len(protos):
+            raise ValueError("cannot build tree from empty sequence")
+        d = protos.dimension
+    else:
+        protos = list(primitives)
+        if not protos:
+            raise ValueError("cannot build tree from empty sequence")
+        for p in protos:
+            if not isinstance(p, PrimitivePrototype):
+                raise TypeError("objects must be PrimitivePrototype instances")
+        d = protos[0].dimension
+        for p in protos[1:]:
+            if p.dimension != d:
+                raise TypeError("the primitive prototypes must all have the same dimension")
 
     if max_depth is not None and int(max_depth) < 0:
         raise ValueError("max_depth cannot be less than 0")

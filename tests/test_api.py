@@ -669,7 +669,10 @@ def test_group_select_native_matches_python(monkeypatch):
     mat = Material((1, 0.5, 0.5))
     for d in (3, 4, 5):
         pts = rng.uniform(-3, 3, (403, d, d)).astype(np.float32)
-        protos = TrianglePrototype.batch_from_points(pts, mat)
+        # materialize the lazy sequence: this test exercises the
+        # mixed-source object path (the lazy all-array path has its own
+        # test below)
+        protos = list(TrianglePrototype.batch_from_points(pts, mat))
         # plus a handful of scalar-constructed ones (mixed-source path)
         nt = NTracer(d)
         for _ in range(5):
@@ -696,3 +699,71 @@ def test_group_select_native_matches_python(monkeypatch):
                 assert x.primitive._materials == y.primitive._materials
             else:
                 assert x is y
+
+
+def test_batch_from_points_lazy_pipeline_matches_list():
+    """batch_from_points returns a lazy TrianglePrototypeSequence; the
+    array fast paths it enables (scene._build validation skip, the
+    build_tree AABB merge, group_primitives' object-free grouping, and
+    the native-assembly bundle consumed by build_tree_native) must
+    produce results identical to materializing the list up front —
+    including byte-identical scene pickles."""
+    import pickle
+    import numpy as np
+    from ntracer_tpu import kdtree
+    from ntracer_tpu.primitives import (TrianglePrototype,
+                                        TrianglePrototypeSequence,
+                                        TriangleBatchPrototype)
+    from ntracer_tpu.render import Material
+    from ntracer_tpu.scene import build_composite_scene
+
+    rng = np.random.RandomState(7)
+    mat = Material((1, 0.5, 0.25))
+    for n, d in ((403, 3), (57, 5)):
+        pts = rng.uniform(-3, 3, (n, d, d)).astype(np.float32)
+        seq = TrianglePrototype.batch_from_points(pts, mat)
+        assert isinstance(seq, TrianglePrototypeSequence)
+        assert len(seq) == n and seq.dimension == d
+        assert seq[-1].material is mat
+        assert len(seq[1:4]) == 3
+        assert isinstance(seq + [], list) and isinstance([] + seq, list)
+        assert seq[n - 1] is seq[-1]        # materialization is cached
+
+        ga = kdtree.group_primitives(seq)
+        gb = kdtree.group_primitives(list(seq))
+        assert getattr(ga, "_assembly", None) is not None
+        assert len(ga) == len(gb)
+        saw_leftover = False
+        for x, y in zip(ga, gb):
+            assert type(x) is type(y)
+            if isinstance(x, TriangleBatchPrototype):
+                np.testing.assert_array_equal(x._points, y._points)
+                np.testing.assert_array_equal(x.primitive._en,
+                                              y.primitive._en)
+                np.testing.assert_array_equal(x.primitive._d,
+                                              y.primitive._d)
+                assert x.primitive._materials == y.primitive._materials
+                np.testing.assert_array_equal(
+                    np.asarray(list(x.boundary.start)),
+                    np.asarray(list(y.boundary.start)))
+            else:
+                saw_leftover = True
+                assert x is y               # same cached object
+        assert saw_leftover                 # 403/57 aren't multiples of 8
+
+        # whole-pipeline equality: the scenes built from the lazy
+        # sequence and from the materialized list pickle identically
+        sa = build_composite_scene(seq)
+        sb = build_composite_scene(
+            list(TrianglePrototype.batch_from_points(pts, mat)))
+        assert pickle.dumps(sa) == pickle.dumps(sb)
+
+    # per-prototype material sequences ride the lazy path too
+    mats = [Material((1, 0, 0)), Material((0, 1, 0))] * 8
+    pts3 = rng.uniform(-1, 1, (16, 3, 3)).astype(np.float32)
+    seq = TrianglePrototype.batch_from_points(pts3, mats)
+    grouped = kdtree.group_primitives(seq)
+    ref = kdtree.group_primitives(list(
+        TrianglePrototype.batch_from_points(pts3, mats)))
+    for x, y in zip(grouped, ref):
+        assert x.primitive._materials == y.primitive._materials
