@@ -701,7 +701,9 @@ def test_group_select_native_matches_python(monkeypatch):
                 assert x is y
 
 
-def test_batch_from_points_lazy_pipeline_matches_list():
+@pytest.mark.parametrize("native_select", [True, False])
+def test_batch_from_points_lazy_pipeline_matches_list(monkeypatch,
+                                                      native_select):
     """batch_from_points returns a lazy TrianglePrototypeSequence; the
     array fast paths it enables (scene._build validation skip, the
     build_tree AABB merge, group_primitives' object-free grouping, and
@@ -710,12 +712,17 @@ def test_batch_from_points_lazy_pipeline_matches_list():
     including byte-identical scene pickles."""
     import pickle
     import numpy as np
-    from ntracer_tpu import kdtree
+    from ntracer_tpu import kdtree, native
     from ntracer_tpu.primitives import (TrianglePrototype,
                                         TrianglePrototypeSequence,
                                         TriangleBatchPrototype)
     from ntracer_tpu.render import Material
     from ntracer_tpu.scene import build_composite_scene
+
+    if not native_select:
+        # lazy path over the Python selection-loop fallback
+        monkeypatch.setattr(native, "group_select",
+                            lambda *args, **kw: None)
 
     rng = np.random.RandomState(7)
     mat = Material((1, 0.5, 0.25))
