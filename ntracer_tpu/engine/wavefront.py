@@ -1580,14 +1580,10 @@ def _frame_stats_composite(arrs, cfg, dyn, cam_origin, cam_t, fov_params,
 def frame_stats(scene, width, height):
     """Host helper: per-stage counters for one frame of ``scene``."""
     cfg, device, _flat = get_device_scene(scene)
-    dyn = _scene_dyn(scene)
-    scene._set_view_size(width, height)
-    fov = _fov_params(width, height, scene.fov)
+    fa = _frame_args(scene, width, height)
     n_tiles = -(-(width * height) // TILE)
-    out = _frame_stats_composite(device, cfg, dyn,
-                                 jnp.asarray(scene._cam._origin),
-                                 jnp.asarray(scene._cam._t), fov,
-                                 width, n_tiles)
+    out = _frame_stats_composite(device, cfg, fa["dyn"], fa["cam"][0],
+                                 fa["cam"][1], fa["fov"], width, n_tiles)
     return {k: int(v) for k, v in out.items()}
 
 
@@ -1596,20 +1592,18 @@ def frame_device_arrays(scene, fmt):
     WITHOUT pulling them to the host — for measuring on-device time
     (compute only, no host link)."""
     from . import packing
-    scene._set_view_size(fmt.width, fmt.height)
-    fov = _fov_params(fmt.width, fmt.height, scene.fov)
+    fa = _frame_args(scene, fmt.width, fmt.height)
+    cam_origin, cam_t = fa["cam"]
+    fov = fa["fov"]
     key = packing.format_key(fmt)
-    cam_origin = jnp.asarray(scene._cam._origin)
-    cam_t = jnp.asarray(scene._cam._t)
     n_tiles = -(-(fmt.width * fmt.height) // TILE)
     if hasattr(scene, "_device_cache"):
         cfg, device, _flat = get_device_scene(scene)
-        dyn = _scene_dyn(scene)
-        return _frame_packed_composite(device, cfg, dyn, cam_origin, cam_t,
-                                       fov, jnp.int32(0), fmt.width,
-                                       n_tiles, key)
+        return _frame_packed_composite(device, cfg, fa["dyn"], cam_origin,
+                                       cam_t, fov, _frame_base(fa, 0),
+                                       fmt.width, n_tiles, key)
     return _frame_packed_box(scene.dimension, cam_origin, cam_t, fov,
-                             jnp.int32(0), fmt.width, n_tiles, key)
+                             _frame_base(fa, 0), fmt.width, n_tiles, key)
 
 
 def _write_pixels(view, fmt, data, start_px, total):
@@ -1642,11 +1636,10 @@ def dispatch_packed(scene, fmt):
     device-to-host pull with frame N+1's compute."""
     from . import packing
 
-    scene._set_view_size(fmt.width, fmt.height)
-    fov = _fov_params(fmt.width, fmt.height, scene.fov)
+    fa = _frame_args(scene, fmt.width, fmt.height)
+    fov = fa["fov"]
     key = None if _needs_host_pack(fmt) else packing.format_key(fmt)
-    cam_origin = jnp.asarray(scene._cam._origin)
-    cam_t = jnp.asarray(scene._cam._t)
+    cam_origin, cam_t = fa["cam"]
 
     total = fmt.width * fmt.height
     n_tiles = -(-total // TILE)
@@ -1663,10 +1656,10 @@ def dispatch_packed(scene, fmt):
             per = -(-per // TILE) * TILE
         fn, arrs = pmesh.get_packed_renderer(scene, m, fmt.width, per, key)
         if arrs is None:
-            dev = fn(cam_origin, cam_t, fov, jnp.int32(0))
+            dev = fn(cam_origin, cam_t, fov, _frame_base(fa, 0))
         else:
-            dev = fn(arrs, _scene_dyn(scene), cam_origin, cam_t, fov,
-                     jnp.int32(0))
+            dev = fn(arrs, fa["dyn"], cam_origin, cam_t, fov,
+                     _frame_base(fa, 0))
         return [(0, dev)]
 
     # split into a few slabs so the next slab's compute overlaps the
@@ -1682,15 +1675,16 @@ def dispatch_packed(scene, fmt):
 
     if hasattr(scene, "_device_cache"):
         cfg, device, _flat = get_device_scene(scene)
-        dyn = _scene_dyn(scene)
         return [(s0 * TILE,
-                 _frame_packed_composite(device, cfg, dyn, cam_origin,
-                                         cam_t, fov, jnp.int32(s0 * TILE),
+                 _frame_packed_composite(device, cfg, fa["dyn"], cam_origin,
+                                         cam_t, fov,
+                                         _frame_base(fa, s0 * TILE),
                                          fmt.width, nt_, key))
                 for s0, nt_ in slab_tiles]
     return [(s0 * TILE,
              _frame_packed_box(scene.dimension, cam_origin, cam_t, fov,
-                               jnp.int32(s0 * TILE), fmt.width, nt_, key))
+                               _frame_base(fa, s0 * TILE), fmt.width, nt_,
+                               key))
             for s0, nt_ in slab_tiles]
 
 
@@ -1971,12 +1965,62 @@ def _scene_dyn(scene):
     )
 
 
+def _frame_args(scene, width, height):
+    """Small per-frame dispatch arguments — dyn arrays, camera buffers,
+    fov scalars, base-index scalars — cached on the scene.
+
+    Rebuilding these per dispatch measured ~5-8 ms/frame through the
+    tunneled host link (ten tiny jnp conversions + uploads per frame;
+    an all-args-cached flagship frame ran 35.5 vs 43.8 ms same-window;
+    a later interleaved 5-round orbit A/B (scripts/argcache_ab.py)
+    clustered at 31.2-31.4 cached vs 33.5-36.4 uncached, min-of-rounds
+    +2.25 ms).
+    A cache hit reuses the SAME device buffers, so the dispatch is
+    bit-identical to the uncached path by construction — no program or
+    value changes, just fewer uploads.  Invalidation: any _mutate /
+    _mutate_config bumps scene._version (full rebuild, including fov and
+    the view size in the key); set_camera bumps scene._cam_version, so a
+    camera-only change (the orbit-animation case) re-uploads just the
+    two camera buffers.  NTRACER_NO_ARGCACHE=1 disables caching for
+    A/Bs."""
+    import os as _os
+    no_cache = bool(_os.environ.get("NTRACER_NO_ARGCACHE"))
+    key = (getattr(scene, "_version", -1), width, height)
+    c = None if no_cache else getattr(scene, "_frame_args_cache", None)
+    if c is None or c["key"] != key:
+        scene._set_view_size(width, height)
+        fov = _fov_params(width, height, scene.fov)
+        c = dict(key=key,
+                 fov=tuple(jnp.asarray(x) for x in fov),
+                 base={0: jnp.int32(0)},
+                 dyn=(_scene_dyn(scene)
+                      if hasattr(scene, "_device_cache") else None),
+                 cam_key=None, cam=None)
+        if not no_cache:
+            scene._frame_args_cache = c
+    cam_key = getattr(scene, "_cam_version", None)
+    if c["cam"] is None or cam_key is None or c["cam_key"] != cam_key:
+        c["cam"] = (jnp.asarray(scene._cam._origin),
+                    jnp.asarray(scene._cam._t))
+        c["cam_key"] = cam_key
+    return c
+
+
+def _frame_base(c, value):
+    """Cached jnp.int32 slab base indices (one upload per distinct value
+    per cache generation)."""
+    b = c["base"].get(value)
+    if b is None:
+        b = c["base"][value] = jnp.int32(value)
+    return b
+
+
 def render_strip_composite(scene, fmt, y0, nrows):
     cfg, device, _flat = get_device_scene(scene)
-    dyn = _scene_dyn(scene)
-    cam_origin = jnp.asarray(scene._cam._origin)
-    cam_t = jnp.asarray(scene._cam._t)
-    fov = _fov_params(fmt.width, fmt.height, scene.fov)
+    fa = _frame_args(scene, fmt.width, fmt.height)
+    dyn = fa["dyn"]
+    cam_origin, cam_t = fa["cam"]
+    fov = fa["fov"]
     xs, ys = _strip_coords(fmt, y0, nrows)
 
     def fn(txs, tys):
@@ -1988,9 +2032,9 @@ def render_strip_composite(scene, fmt, y0, nrows):
 
 
 def render_strip_box(scene, fmt, y0, nrows):
-    cam_origin = jnp.asarray(scene._cam._origin)
-    cam_t = jnp.asarray(scene._cam._t)
-    fov = _fov_params(fmt.width, fmt.height, scene.fov)
+    fa = _frame_args(scene, fmt.width, fmt.height)
+    cam_origin, cam_t = fa["cam"]
+    fov = fa["fov"]
     xs, ys = _strip_coords(fmt, y0, nrows)
 
     def fn(txs, tys):

@@ -406,10 +406,7 @@ def render_frame(scene, fmt, mesh: Mesh):
     xs = np.pad(xs.ravel(), (0, tile - total))
     ys = np.pad(ys.ravel(), (0, tile - total))
 
-    dyn = wavefront._scene_dyn(scene)
-    scene._set_view_size(fmt.width, fmt.height)
-    fov = wavefront._fov_params(fmt.width, fmt.height, scene.fov)
-    out = fn(arrs, dyn, jnp.asarray(scene._cam._origin),
-             jnp.asarray(scene._cam._t), fov, jnp.asarray(xs),
-             jnp.asarray(ys))
+    fa = wavefront._frame_args(scene, fmt.width, fmt.height)
+    out = fn(arrs, fa["dyn"], fa["cam"][0], fa["cam"][1], fa["fov"],
+             jnp.asarray(xs), jnp.asarray(ys))
     return np.asarray(out)[:total].reshape(fmt.height, fmt.width, 3)

@@ -1015,3 +1015,83 @@ def test_prim_sharded_transposed_matches_row_and_single(
         np.testing.assert_allclose(sharded_t, sharded_row, atol=2e-5)
 
     np.testing.assert_allclose(sharded_t, single, atol=2e-5)
+
+
+def test_frame_args_cache_invalidation(monkeypatch):
+    """The per-scene frame-argument cache (wavefront._frame_args) must be
+    bit-transparent: cached dispatches equal uncached ones, and every
+    mutation class — camera (own version, buffers-only re-upload),
+    config (ambient/bg/fov via _mutate_config), geometry (_mutate), and
+    view size — must invalidate correctly so renders never go stale."""
+    import numpy as np
+    from ntracer import (NTracer, Material, ImageFormat, Channel)
+    from ntracer_tpu.engine import wavefront
+
+    monkeypatch.setenv("NTRACER_FORCE_KERNELS", "1")
+    nt = NTracer(3)
+    mat = Material((1, 0.5, 0.25))
+    protos = [nt.TrianglePrototype([nt.Vector(0, 0, 2),
+                                    nt.Vector(1, 0.5, 2.5),
+                                    nt.Vector(0, 1, 2)], mat)]
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector(0.1, 0.1, -2))
+    scene.set_camera(cam)
+    fmt = ImageFormat(32, 32, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                               Channel(8, 0, 0, 1)])
+
+    def frame():
+        return np.asarray(wavefront.frame_device_arrays(scene, fmt))
+
+    base = frame()
+    # cached repeat == uncached repeat, bitwise
+    assert np.array_equal(base, frame())
+    monkeypatch.setenv("NTRACER_NO_ARGCACHE", "1")
+    assert np.array_equal(base, frame())
+    monkeypatch.delenv("NTRACER_NO_ARGCACHE")
+
+    # camera mutation: only the camera buffers re-upload, and the new
+    # view must take effect
+    fa1 = scene._frame_args_cache
+    dyn1 = fa1["dyn"]
+    cam2 = scene.get_camera()
+    cam2.translate(nt.Vector(0.3, 0, 0))
+    scene.set_camera(cam2)
+    moved = frame()
+    assert not np.array_equal(base, moved)
+    assert scene._frame_args_cache is fa1          # same generation
+    assert scene._frame_args_cache["dyn"] is dyn1  # dyn buffers reused
+
+    # config mutation (background) rebuilds the generation
+    scene.set_background((1, 0, 0), (0, 0, 1), axis=1)
+    recolored = frame()
+    assert not np.array_equal(moved, recolored)
+    assert scene._frame_args_cache is not fa1
+
+    # fov + view size changes
+    scene.set_fov(1.2)
+    wide = frame()
+    assert not np.array_equal(recolored, wide)
+    fmt2 = ImageFormat(64, 32, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                                Channel(8, 0, 0, 1)])
+    other = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
+    assert other.size != wide.size or not np.array_equal(other, wide)
+
+    # geometry mutation (_mutate) also lands in the key.  Restore the
+    # original view (triangle visible), camera_light off, and place the
+    # light BEHIND the triangle — the ported inverted point-light
+    # direction quirk (PARITY.md) means front-side lights contribute
+    # zero (verified uncached: (0,0,0) no-op, (0,0,3) lights it).
+    scene.set_camera(cam)
+    scene.set_fov(0.8)
+    scene.set_camera_light(False)
+    dark = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
+    scene.add_light(nt.PointLight(nt.Vector(0, 0, 3), (1, 1, 1)))
+    lit = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
+    assert not np.array_equal(dark, lit)
+
+    # cached-vs-uncached equality at the final state
+    final = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
+    monkeypatch.setenv("NTRACER_NO_ARGCACHE", "1")
+    final_nc = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
+    assert np.array_equal(final, final_nc)
