@@ -1095,3 +1095,37 @@ def test_frame_args_cache_invalidation(monkeypatch):
     monkeypatch.setenv("NTRACER_NO_ARGCACHE", "1")
     final_nc = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
     assert np.array_equal(final, final_nc)
+
+
+def test_boxscene_frame_args_camera_invalidation():
+    """BoxScene.set_camera bumps only _cam_version (like CompositeScene);
+    the frame-args cache must still pick up camera moves, reproduce the
+    original frame bitwise when the camera returns, and react to set_fov
+    (which bumps _version)."""
+    import numpy as np
+    from ntracer import NTracer, ImageFormat, Channel
+    from ntracer_tpu.engine import wavefront
+
+    nt = NTracer(4)
+    scene = nt.BoxScene()
+    cam = scene.get_camera()
+    cam.translate(nt.Vector(0.1, -0.2, -4, 0.3))
+    scene.set_camera(cam)
+    fmt = ImageFormat(32, 24, [Channel(8, 1, 0, 0), Channel(8, 0, 1, 0),
+                               Channel(8, 0, 0, 1)])
+
+    def frame():
+        return np.asarray(wavefront.frame_device_arrays(scene, fmt))
+
+    base = frame()
+    assert np.array_equal(base, frame())
+    cam2 = scene.get_camera()
+    cam2.transform(nt.Matrix.rotation(nt.Vector.axis(0), nt.Vector.axis(2),
+                                      0.4))
+    scene.set_camera(cam2)
+    rotated = frame()
+    assert not np.array_equal(base, rotated)
+    scene.set_camera(cam)
+    assert np.array_equal(base, frame())
+    scene.set_fov(1.3)
+    assert not np.array_equal(base, frame())
