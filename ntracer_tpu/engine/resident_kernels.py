@@ -146,6 +146,28 @@ def _occ_stack_bytes(sb):
     return int(sb * 3.8e6 * RAY_BLOCK / 512)
 
 
+def _step_live(blive_ref, SB):
+    """OR of this grid step's ``SB`` per-block liveness flags (SMEM scalar
+    reads — no vector->scalar sync).
+
+    Why this exists: a pl.when region whose body contains the pair-test
+    walk costs ~3.5 us per SUB-BLOCK even when its predicate is FALSE —
+    the region's scoped-vmem frame setup is emitted unconditionally
+    (measured, scripts/occl_floor_probe.py: an all-dead occluded() call
+    runs 9.8 ms at 2048 blocks; with the walk regions nested under one
+    per-STEP predicate it runs 2.4 ms, the bare grid/IO floor; trivial
+    bodies, loads, while_loops and vector->scalar reduces under the same
+    dead pl.when all measure FREE, so it is specifically the big walk
+    body's frame).  Nesting the per-sub-block regions under this
+    step-level test makes all-dead grid steps cost one scalar branch,
+    which is what makes block-sparse shadow batches cheap."""
+    base = pl.program_id(0) * SB
+    live = blive_ref[base]
+    for sb in range(1, SB):
+        live = live | blive_ref[base + sb]
+    return live != 0
+
+
 def _occ_sub_blocks(ni):
     """SB for the occlusion kernels: shadow batches are block-sparse
     (per-block liveness flags skip the walk body), so dead grid steps
@@ -435,7 +457,14 @@ def chunk_order(klo, khi, origin):
 
 
 def _scene_exit(o, dirs, b_lo, b_hi):
-    """Exit distance of each ray from the pool AABB (0 when missed)."""
+    """Exit distance of each ray from the pool AABB (0 when missed).
+
+    Row-layout (R, d) form, kept for the scalar-ish callers/tests; the
+    hot paths use the bit-identical lane-major twin below (XLA-TPU runs
+    (R, small-k) elementwise chains 5-12x above bandwidth, and feeding
+    this from the transposed pipeline forces a (R, d) re-tiling — the
+    6-D lit scene's global-light clamp alone measured 8.85 ms this way
+    vs ~0.3 ms lane-major, scripts/shadow_shade_split.py)."""
     inv = jnp.where(dirs != 0, 1.0 / jnp.where(dirs != 0, dirs, 1.0), 0.0)
     a = (b_lo[None, :] - o) * inv
     b = (b_hi[None, :] - o) * inv
@@ -445,6 +474,25 @@ def _scene_exit(o, dirs, b_lo, b_hi):
     t1 = jnp.where(par, jnp.where(inside, BIG, -BIG), jnp.maximum(a, b))
     tn = jnp.max(t0, axis=-1)
     tf = jnp.min(t1, axis=-1)
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tf >= 0)
+    return jnp.where(hit, tf * (1 + 16 * ROUNDING_FUZZ), 0.0)
+
+
+def _scene_exit_T(oT, dT, b_lo, b_hi):
+    """Lane-major (d, R) twin of ``_scene_exit`` — bit-identical by
+    construction: the elementwise ops are unchanged and the d-axis
+    min/max reductions are rounding-free in any order.  Callers pass
+    ``o.T``/``dirs.T`` so transposed-pipeline (d, R) tensors reach it
+    with zero relayout (x.T.T cancels in XLA)."""
+    inv = jnp.where(dT != 0, 1.0 / jnp.where(dT != 0, dT, 1.0), 0.0)
+    a = (b_lo[:, None] - oT) * inv
+    b = (b_hi[:, None] - oT) * inv
+    par = dT == 0
+    inside = (oT >= b_lo[:, None]) & (oT <= b_hi[:, None])
+    t0 = jnp.where(par, jnp.where(inside, -BIG, BIG), jnp.minimum(a, b))
+    t1 = jnp.where(par, jnp.where(inside, BIG, -BIG), jnp.maximum(a, b))
+    tn = jnp.max(t0, axis=0)
+    tf = jnp.min(t1, axis=0)
     hit = (tf >= jnp.maximum(tn, 0.0)) & (tf >= 0)
     return jnp.where(hit, tf * (1 + 16 * ROUNDING_FUZZ), 0.0)
 
@@ -575,21 +623,6 @@ def _nearest_kernel(d, ck, shared, SB, payload, *refs):
         out_t_ref, out_id_ref, count_ref, best_t, best_id = refs[12:]
         out_pay_ref = best_pay = None
     n_eff = neff_ref[0]
-    for sb in range(SB):
-        _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref,
-                      skip_ref, init_t_ref, order_ref, blive_ref,
-                      klo_t_ref, khi_t_ref, gt_ref, ci_ref, ids_ref,
-                      out_t_ref, out_id_ref, count_ref, best_t, best_id,
-                      out_pay_ref, best_pay)
-
-
-def _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref, skip_ref,
-                  init_t_ref, order_ref, blive_ref, klo_t_ref, khi_t_ref,
-                  gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
-                  count_ref, best_t, best_id, out_pay_ref=None,
-                  best_pay=None):
-    sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
-
     # dead ray blocks (every init_t == 0: bounce rays masked inactive,
     # all-miss shadow batches) skip even the entry pass — the flag is
     # precomputed on the host side and read from SMEM, costing no
@@ -597,13 +630,38 @@ def _nearest_walk(d, ck, shared, sb, SB, n_eff, o_ref, dir_ref, skip_ref,
     # permutation gathers cost far more than the blocks they saved.
     # Boundary refs are LANE-MAJOR (see nearest_hit): dead-block inits
     # copy (1, RAY_BLOCK) slices directly, live walks transpose once.
-    out_t_ref[0:1, sl] = init_t_ref[0:1, sl]
-    out_id_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), -1, jnp.int32)
-    count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
-    if out_pay_ref is not None:
-        out_pay_ref[:, sl] = _miss_payload_t(out_pay_ref.shape[0], d)
+    for sb in range(SB):
+        sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+        out_t_ref[0:1, sl] = init_t_ref[0:1, sl]
+        out_id_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), -1, jnp.int32)
+        count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
+        if out_pay_ref is not None:
+            out_pay_ref[:, sl] = _miss_payload_t(out_pay_ref.shape[0], d)
 
-    @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
+    # walk regions nest under a step-level liveness test: a dead pl.when
+    # region containing the walk body still pays its ~3.5 us frame setup
+    # (_step_live docstring), so all-dead steps skip the whole group
+    base = pl.program_id(0) * SB   # hoisted: pl.program_id cannot be
+    # called inside a nested pl.when branch in interpret mode
+
+    @pl.when(_step_live(blive_ref, SB))
+    def _live_step():
+        for sb in range(SB):
+            _nearest_walk(d, ck, shared, sb, base, n_eff, o_ref, dir_ref,
+                          skip_ref, init_t_ref, order_ref, blive_ref,
+                          klo_t_ref, khi_t_ref, gt_ref, ci_ref, ids_ref,
+                          out_t_ref, out_id_ref, count_ref, best_t,
+                          best_id, out_pay_ref, best_pay)
+
+
+def _nearest_walk(d, ck, shared, sb, base, n_eff, o_ref, dir_ref, skip_ref,
+                  init_t_ref, order_ref, blive_ref, klo_t_ref, khi_t_ref,
+                  gt_ref, ci_ref, ids_ref, out_t_ref, out_id_ref,
+                  count_ref, best_t, best_id, out_pay_ref=None,
+                  best_pay=None):
+    sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+
+    @pl.when(blive_ref[base + sb] != 0)
     def _walk():
         _nearest_walk_live(d, ck, shared, sl, n_eff, o_ref, dir_ref,
                            skip_ref, init_t_ref, order_ref, klo_t_ref,
@@ -741,7 +799,9 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     if order is None:
         order = res["base_order"]
         dmin = jnp.zeros((nc,), f32)
-    init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
+    # lane-major twin: o.T/dirs.T cancel against the transposed
+    # pipeline's (d, R) tensors (and CSE with the o8t/d8t pads)
+    init_t = _scene_exit_T(o.T, dirs.T, res["b_lo"], res["b_hi"])
     if active is not None:
         init_t = jnp.where(active, init_t, 0.0)
 
@@ -849,51 +909,70 @@ def _occlusion_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
     # VMEM (one (8, RAY_BLOCK) transpose per operand per walk).
     #
     # SB independent RAY_BLOCK any-hit walks per grid step amortize the
-    # fixed grid-step cost across the block-sparse shadow batches.
+    # fixed grid-step cost across the block-sparse shadow batches.  The
+    # walk regions nest under ONE step-level liveness test (_step_live):
+    # a dead pl.when region with the walk body still pays its ~3.5 us
+    # frame setup, so all-dead steps must skip the whole group.
     for sb in range(SB):
         sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
         out_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
         count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
-        @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
-        def _walk(sl=sl):
-            o8 = o_ref[:, sl].T
-            d8 = dir_ref[:, sl].T
-            skip = skip_ref[0:1, sl].T
-            ldist = ldist_ref[0:1, sl].T
+    base = pl.program_id(0) * SB   # hoisted (interpret-mode nesting)
 
-            blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
-            n_eff = neff_ref[0]
+    @pl.when(_step_live(blive_ref, SB))
+    def _live_step():
+        for sb in range(SB):
+            _occlusion_walk(d, ck, sb, base, o_ref, dir_ref, skip_ref,
+                            ldist_ref, order_ref, neff_ref, blive_ref,
+                            klo_t_ref, khi_t_ref, gt_ref, ci_ref, ids_ref,
+                            out_ref, count_ref, blocked)
 
-            # vectorized candidate scan with a single, latency-hidden
-            # scalar sync per iteration (see _nearest_kernel).
-            emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)  # (1, ncp)
-            ncp = emin.shape[1]
-            posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
-            def find_next(k0):
-                lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
-                               axis=0, keepdims=True)               # (1, 1)
-                cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
-                return jnp.min(jnp.where(cand, posi, BIG_POS))
+def _occlusion_walk(d, ck, sb, base, o_ref, dir_ref, skip_ref, ldist_ref,
+                    order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
+                    gt_ref, ci_ref, ids_ref, out_ref, count_ref, blocked):
+    sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
 
-            def body(state):
-                k, _, visited = state
-                nxt = find_next(k + 1)
-                idx = order_ref[k]
-                t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref,
-                                       ids_ref, idx, o8, d8, skip)
-                valid &= t < ldist
-                hit = jnp.any(valid, axis=1, keepdims=True)
-                blocked[:] = jnp.where(hit, 1, blocked[:])
-                return nxt, nxt < BIG_POS, visited + 1
+    @pl.when(blive_ref[base + sb] != 0)
+    def _walk(sl=sl):
+        o8 = o_ref[:, sl].T
+        d8 = dir_ref[:, sl].T
+        skip = skip_ref[0:1, sl].T
+        ldist = ldist_ref[0:1, sl].T
 
-            k0 = find_next(jnp.int32(0))
-            _, _, visited = jax.lax.while_loop(
-                lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-            out_ref[0:1, sl] = blocked[:].T
-            count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited,
-                                          jnp.int32)
+        blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
+        n_eff = neff_ref[0]
+
+        # vectorized candidate scan with a single, latency-hidden
+        # scalar sync per iteration (see _nearest_kernel).
+        emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)  # (1, ncp)
+        ncp = emin.shape[1]
+        posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+
+        def find_next(k0):
+            lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+                           axis=0, keepdims=True)               # (1, 1)
+            cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
+            return jnp.min(jnp.where(cand, posi, BIG_POS))
+
+        def body(state):
+            k, _, visited = state
+            nxt = find_next(k + 1)
+            idx = order_ref[k]
+            t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref,
+                                   ids_ref, idx, o8, d8, skip)
+            valid &= t < ldist
+            hit = jnp.any(valid, axis=1, keepdims=True)
+            blocked[:] = jnp.where(hit, 1, blocked[:])
+            return nxt, nxt < BIG_POS, visited + 1
+
+        k0 = find_next(jnp.int32(0))
+        _, _, visited = jax.lax.while_loop(
+            lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
+        out_ref[0:1, sl] = blocked[:].T
+        count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited,
+                                      jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("d",))
@@ -1086,7 +1165,9 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
     if order is None:
         order = res["base_order"]
         dmin = jnp.zeros((nc,), f32)
-    init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
+    # lane-major twin: o.T/dirs.T cancel against the transposed
+    # pipeline's (d, R) tensors (and CSE with the o8t/d8t pads)
+    init_t = _scene_exit_T(o.T, dirs.T, res["b_lo"], res["b_hi"])
     if active is not None:
         init_t = jnp.where(active, init_t, 0.0)
     # lane-major boundary (see nearest_hit)
@@ -1154,19 +1235,28 @@ def _occl_t_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
                    out_ref, filt_ref, count_ref,
                    blocked, filt):
     # SB sub-block batching: see _occlusion_kernel (dead grid steps
-    # dominate block-sparse shadow batches)
+    # dominate block-sparse shadow batches); walk regions nest under the
+    # step-level liveness test (_step_live — dead regions otherwise pay
+    # their ~3.5 us frame setup even when skipped)
     for sb in range(SB):
         sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
         out_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
         filt_ref[0:1, sl] = jnp.ones((1, RAY_BLOCK), f32)
         count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
-        @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
-        def _walk(sl=sl):
-            _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
-                         order_ref, neff_ref, klo_t_ref, khi_t_ref,
-                         gt_ref, ci_ref, ids_ref, opa_ref,
-                         out_ref, filt_ref, count_ref, blocked, filt)
+    base = pl.program_id(0) * SB   # hoisted (interpret-mode nesting)
+
+    @pl.when(_step_live(blive_ref, SB))
+    def _live_step():
+        for sb in range(SB):
+            sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+
+            @pl.when(blive_ref[base + sb] != 0)
+            def _walk(sl=sl):
+                _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref,
+                             ldist_ref, order_ref, neff_ref, klo_t_ref,
+                             khi_t_ref, gt_ref, ci_ref, ids_ref, opa_ref,
+                             out_ref, filt_ref, count_ref, blocked, filt)
 
 
 def _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
@@ -1547,7 +1637,9 @@ def nearest_hit_hbm(res, o, dirs, skip, d, order=None, dmin=None,
     if order is None:
         order = res["base_order"]
         dmin = jnp.zeros((nc,), f32)
-    init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
+    # lane-major twin: o.T/dirs.T cancel against the transposed
+    # pipeline's (d, R) tensors (and CSE with the o8t/d8t pads)
+    init_t = _scene_exit_T(o.T, dirs.T, res["b_lo"], res["b_hi"])
     if active is not None:
         init_t = jnp.where(active, init_t, 0.0)
     # lane-major boundary (see nearest_hit)
@@ -1626,18 +1718,28 @@ def _occl_hbm_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
     # SB sub-block batching: see _occlusion_kernel (dead grid steps
     # dominate block-sparse shadow batches).  The DMA buffers/semaphores
     # are reused sequentially — each sub-block walk quiesces its own
-    # fetches before returning.
+    # fetches before returning.  Walk regions nest under the step-level
+    # liveness test (_step_live — dead regions otherwise pay their
+    # ~3.5 us frame setup even when skipped).
     for sb in range(SB):
         sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
         out_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
         count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
-        @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
-        def _walk(sl=sl):
-            _occl_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
-                           order_ref, neff_ref, klo_t_ref, khi_t_ref,
-                           gt_hbm, ci_hbm, ids_hbm, out_ref, count_ref,
-                           blocked, gt_buf, ci_buf, ids_buf, sems)
+    base = pl.program_id(0) * SB   # hoisted (interpret-mode nesting)
+
+    @pl.when(_step_live(blive_ref, SB))
+    def _live_step():
+        for sb in range(SB):
+            sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+
+            @pl.when(blive_ref[base + sb] != 0)
+            def _walk(sl=sl):
+                _occl_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref,
+                               ldist_ref, order_ref, neff_ref, klo_t_ref,
+                               khi_t_ref, gt_hbm, ci_hbm, ids_hbm,
+                               out_ref, count_ref, blocked, gt_buf,
+                               ci_buf, ids_buf, sems)
 
 
 def _occl_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
@@ -1947,7 +2049,9 @@ def nearest_hit_transparent_hbm(res, o, dirs, skip, d, K, order=None,
     ni = R // RAY_BLOCK
     if order is None:
         order = res["base_order"]
-    init_t = _scene_exit(o, dirs, res["b_lo"], res["b_hi"])
+    # lane-major twin: o.T/dirs.T cancel against the transposed
+    # pipeline's (d, R) tensors (and CSE with the o8t/d8t pads)
+    init_t = _scene_exit_T(o.T, dirs.T, res["b_lo"], res["b_hi"])
     if active is not None:
         init_t = jnp.where(active, init_t, 0.0)
     # lane-major boundary (see nearest_hit)
@@ -2022,21 +2126,29 @@ def _occl_t_hbm_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
                        out_ref, filt_ref, count_ref,
                        blocked, filt, gt_buf, ci_buf, ids_buf, opa_buf,
                        sems):
-    # SB sub-block batching: see _occlusion_kernel
+    # SB sub-block batching: see _occlusion_kernel; walk regions nest
+    # under the step-level liveness test (_step_live)
     for sb in range(SB):
         sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
         out_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
         filt_ref[0:1, sl] = jnp.ones((1, RAY_BLOCK), f32)
         count_ref[0:1, sl] = jnp.zeros((1, RAY_BLOCK), jnp.int32)
 
-        @pl.when(blive_ref[pl.program_id(0) * SB + sb] != 0)
-        def _walk(sl=sl):
-            _occl_t_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref,
-                             ldist_ref, order_ref, neff_ref, klo_t_ref,
-                             khi_t_ref, gt_hbm, ci_hbm, ids_hbm, opa_hbm,
-                             out_ref, filt_ref, count_ref,
-                             blocked, filt, gt_buf, ci_buf, ids_buf,
-                             opa_buf, sems)
+    base = pl.program_id(0) * SB   # hoisted (interpret-mode nesting)
+
+    @pl.when(_step_live(blive_ref, SB))
+    def _live_step():
+        for sb in range(SB):
+            sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
+
+            @pl.when(blive_ref[base + sb] != 0)
+            def _walk(sl=sl):
+                _occl_t_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref,
+                                 ldist_ref, order_ref, neff_ref, klo_t_ref,
+                                 khi_t_ref, gt_hbm, ci_hbm, ids_hbm,
+                                 opa_hbm, out_ref, filt_ref, count_ref,
+                                 blocked, filt, gt_buf, ci_buf, ids_buf,
+                                 opa_buf, sems)
 
 
 def _occl_t_hbm_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,

@@ -763,7 +763,12 @@ def occlusion(arrs, cfg: SceneConfig, o, dirs, ldist, skip, stats=None,
         # instead of walking chunks to pool exhaustion.  Solids are tested
         # against the ORIGINAL ldist in _occlusion_finish.
         if clamp_exit:
-            exit_t = rk._scene_exit(o, dirs, res_k["b_lo"], res_k["b_hi"])
+            # lane-major twin (bit-identical): o.T/dirs.T cancel against
+            # the transposed pipeline's (d, R) tensors — the row form
+            # measured 8.85 ms/frame on the lit scene's global light
+            # (scripts/shadow_shade_split.py)
+            exit_t = rk._scene_exit_T(o.T, dirs.T, res_k["b_lo"],
+                                      res_k["b_hi"])
             pool_ldist = jnp.minimum(ldist, exit_t)
         else:
             # point-light queries arrive with finite ldist already; skip

@@ -540,3 +540,29 @@ def test_resident_raw_slot_matches_gid_map(monkeypatch):
     np.testing.assert_array_equal(row[m, :d], arrs["tri_fn"][kid[m]])
     np.testing.assert_array_equal(row[m, d].astype(np.int32),
                                   arrs["tri_mat"][kid[m]])
+
+
+def test_scene_exit_lane_major_twin_bitwise():
+    """_scene_exit_T must equal the row-layout _scene_exit BITWISE: the
+    elementwise math is identical and the d-axis min/max reductions are
+    rounding-free in any order (resident_kernels docstring)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ntracer_tpu.engine import resident_kernels as rk
+
+    rng = np.random.default_rng(7)
+    for d in (3, 4, 6, 8):
+        o = rng.normal(size=(257, d)).astype(np.float32)
+        dirs = rng.normal(size=(257, d)).astype(np.float32)
+        # exercise the parallel-component branch and inside/outside rays
+        dirs[::7, 0] = 0.0
+        o[::5] *= 0.05
+        b_lo = np.full((d,), -1.5, np.float32)
+        b_hi = np.full((d,), 1.5, np.float32)
+        row = np.asarray(rk._scene_exit(jnp.asarray(o), jnp.asarray(dirs),
+                                        jnp.asarray(b_lo), jnp.asarray(b_hi)))
+        lane = np.asarray(rk._scene_exit_T(jnp.asarray(o.T),
+                                           jnp.asarray(dirs.T),
+                                           jnp.asarray(b_lo),
+                                           jnp.asarray(b_hi)))
+        assert np.array_equal(row, lane)
