@@ -11,6 +11,18 @@ The public API mirrors the reference package: ``Color``, ``Material``,
 ``NTracer``, ``CUBE``, ``SPHERE`` (reference lib/ntracer/__init__.py:8-9).
 """
 
+import os as _os
+
+if _os.environ.get("NTRACER_PLATFORM"):
+    # Force a jax backend at import time.  JAX_PLATFORMS alone is not
+    # reliable on images whose sitecustomize config-updates the platform
+    # programmatically (this repo's test image does); subprocess tests
+    # pass NTRACER_PLATFORM=cpu to stay hermetic when the TPU tunnel is
+    # slow or down.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["NTRACER_PLATFORM"])
+
 from .render import (Color, Material, Channel, ImageFormat, CallbackRenderer,
                      BlockingRenderer)
 from .wrapper import NTracer, CUBE, SPHERE

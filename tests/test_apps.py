@@ -127,7 +127,8 @@ def test_polytope_png_output(tmp_path):
 
     out = tmp_path / "anim"
     out.mkdir()
-    env = dict(os.environ, JAX_PLATFORMS="cpu", SDL_VIDEODRIVER="dummy")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", NTRACER_PLATFORM="cpu",
+               SDL_VIDEODRIVER="dummy")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "polytope.py"),
          "4", "3", "--output", str(out), "-t", "png", "-s", "48x48",
@@ -144,7 +145,8 @@ def test_polytope_benchmark_pipelined(tmp_path):
     import subprocess
     import sys
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu", SDL_VIDEODRIVER="dummy")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", NTRACER_PLATFORM="cpu",
+               SDL_VIDEODRIVER="dummy")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "polytope.py"),
          "4", "3", "--benchmark", "-s", "48x48", "-f", "5"],
@@ -161,7 +163,8 @@ def test_hypercube_benchmark():
     import subprocess
     import sys
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu", SDL_VIDEODRIVER="dummy")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", NTRACER_PLATFORM="cpu",
+               SDL_VIDEODRIVER="dummy")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "hypercube.py"),
          "-d", "4", "--benchmark", "-s", "48x48", "-f2", "3"],
