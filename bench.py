@@ -234,8 +234,6 @@ def main():
             return jnp.sum(o, axis=0) + jnp.sum(dirs, axis=0)
 
         n_tiles = -(-(W * H) // wavefront.TILE)
-        from ntracer_tpu.engine import packing as _packing
-        fkey = _packing.format_key(fmt)
         dyn = wavefront._scene_dyn(scene)
 
         @jax.jit
@@ -347,8 +345,13 @@ def main():
 
 
 def _pair_rate(counters, walk_ms):
-    """visits x RAY_BLOCK x CK pair tests per second of walk time."""
-    if not walk_ms or not counters.get("chunks_visited"):
+    """visits x RAY_BLOCK x CK pair tests per second of walk time.
+
+    ``walk_ms <= 0`` returns None: the RTT correction subtracts an
+    interleaved noop-call baseline, and a tunnel burst can leave a
+    negative split in a bad window — a negative Gpairs/s would poison
+    the round-over-round roofline comparison."""
+    if not walk_ms or walk_ms <= 0 or not counters.get("chunks_visited"):
         return None
     from ntracer_tpu.engine import resident_kernels as rk
     pairs = counters["chunks_visited"] * rk.RAY_BLOCK * rk.CK

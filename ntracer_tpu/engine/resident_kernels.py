@@ -168,19 +168,28 @@ def _step_live(blive_ref, SB):
     return live != 0
 
 
-def _occ_sub_blocks(ni):
+def _occ_sub_blocks(ni, pool_bytes=0):
     """SB for the occlusion kernels: shadow batches are block-sparse
     (per-block liveness flags skip the walk body), so dead grid steps
     dominate lit scenes — default to 8 walks per step and raise the
     scoped-vmem limit to fit the unrolled stacks (_occ_stack_bytes).
-    NTRACER_OCC_SB overrides for hardware sweeps (NTRACER_SB drives the
-    nearest-walk kernels, a separate axis)."""
+    Clamped so pool + stacks + headroom fit the _cparams ceiling (at
+    RAY_BLOCK=1024 a 48 MB pool + 8 unrolled ~7.6 MB stacks would
+    exceed it and Mosaic OOMs at compile time; RAY_BLOCK=512 configs
+    keep SB=8 unchanged).  NTRACER_OCC_SB overrides for hardware
+    sweeps (NTRACER_SB drives the nearest-walk kernels, a separate
+    axis)."""
     import os
+    cap = VMEM_LIMIT_BYTES or 110 * 1024 * 1024
+    sb_max = 8
+    while sb_max > 1 and (pool_bytes + _occ_stack_bytes(sb_max)
+                          + 24 * 1024 * 1024) > cap:
+        sb_max -= 1
     env = os.environ.get("NTRACER_OCC_SB")
     try:
-        sb = max(1, min(8, int(env))) if env else 8
+        sb = max(1, min(sb_max, int(env))) if env else sb_max
     except ValueError:
-        sb = 8
+        sb = sb_max
     while sb > 1 and ni % sb:
         sb -= 1
     return sb
@@ -212,18 +221,17 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _sub_blocks(ni, per_walk_mb=3.5):
+def _sub_blocks(ni):
     """Independent RAY_BLOCK walks per grid step: each step costs
     ~2.4-3.5 us of fixed overhead, so batching amortizes it.  Mosaic
     stack-allocates the unrolled walks' temporaries separately (~3.5 MB
     per 512-ray NEAREST walk; 8x512 blew the 16 MB scoped-vmem limit at
-    28.5 MB), so the count is bounded by a VMEM budget.  The occlusion
-    walks carry a smaller stack (no best-id/argmin/payload temporaries)
-    and pass a smaller ``per_walk_mb`` for a higher SB — block-sparse
-    shadow batches are dead-step dominated.  NTRACER_SB overrides for
+    28.5 MB), so the count is bounded by a VMEM budget.  (The occlusion
+    kernels use the separate ``_occ_sub_blocks`` — their walks carry a
+    smaller stack and default to SB=8.)  NTRACER_SB overrides for
     hardware sweeps."""
     import os
-    per_walk = max(1, int(per_walk_mb * 1e6 * RAY_BLOCK / 512))
+    per_walk = max(1, int(3.5e6 * RAY_BLOCK / 512))
     # stack budget = scoped-vmem limit minus room for the pool layouts and
     # ray slabs (the default ~16 MiB limit leaves ~10 MiB of stack —
     # preserves the measured SB=2 default at RAY_BLOCK=512)
@@ -985,7 +993,7 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
     ni = R // RAY_BLOCK
-    SB = _occ_sub_blocks(ni)
+    SB = _occ_sub_blocks(ni, _pool_bytes(res))
     RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]
@@ -1329,7 +1337,7 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
     ni = R // RAY_BLOCK
-    SB = _occ_sub_blocks(ni)
+    SB = _occ_sub_blocks(ni, _pool_bytes(res))
     RB = SB * RAY_BLOCK
     if order is None:
         order = res["base_order"]

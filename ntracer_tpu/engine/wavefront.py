@@ -1986,11 +1986,20 @@ def _frame_args(scene, width, height):
     _mutate_config bumps scene._version (full rebuild, including fov and
     the view size in the key); set_camera bumps scene._cam_version, so a
     camera-only change (the orbit-animation case) re-uploads just the
-    two camera buffers.  NTRACER_NO_ARGCACHE=1 disables caching for
-    A/Bs."""
+    two camera buffers.  The key also carries the VALUES of the small
+    dyn inputs (fov, ambient, bg colors): they are plain writable
+    Python attributes here (READONLY members in the reference,
+    ntracer_body.hpp:713), and before this cache a direct
+    ``scene.ambient = ...`` took effect next frame — comparing 13
+    floats per dispatch keeps that working instead of going silently
+    stale.  NTRACER_NO_ARGCACHE=1 disables caching for A/Bs."""
     import os as _os
     no_cache = bool(_os.environ.get("NTRACER_NO_ARGCACHE"))
-    key = (getattr(scene, "_version", -1), width, height)
+    key = (getattr(scene, "_version", -1), width, height,
+           float(scene.fov),
+           tuple(scene.ambient) if hasattr(scene, "ambient") else None,
+           (tuple(scene.bg1), tuple(scene.bg2), tuple(scene.bg3))
+           if hasattr(scene, "bg1") else None)
     c = None if no_cache else getattr(scene, "_frame_args_cache", None)
     if c is None or c["key"] != key:
         scene._set_view_size(width, height)

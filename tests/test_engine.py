@@ -1095,6 +1095,19 @@ def test_frame_args_cache_invalidation(monkeypatch):
     monkeypatch.setenv("NTRACER_NO_ARGCACHE", "1")
     final_nc = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
     assert np.array_equal(final, final_nc)
+    monkeypatch.delenv("NTRACER_NO_ARGCACHE")
+
+    # DIRECT attribute writes (legal here; READONLY members in the
+    # reference) must also take effect: the cache key carries the
+    # values of the small dyn inputs, not just the version counters
+    before = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
+    from ntracer import Color
+    scene.ambient = Color(0.9, 0.1, 0.1)
+    after = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
+    assert not np.array_equal(before, after)
+    scene.fov = 1.4
+    wider = np.asarray(wavefront.frame_device_arrays(scene, fmt2))
+    assert not np.array_equal(after, wider)
 
 
 def test_boxscene_frame_args_camera_invalidation():

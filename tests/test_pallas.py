@@ -566,3 +566,27 @@ def test_scene_exit_lane_major_twin_bitwise():
                                            jnp.asarray(b_lo),
                                            jnp.asarray(b_hi)))
         assert np.array_equal(row, lane)
+
+
+def test_occ_sub_blocks_vmem_clamp(monkeypatch):
+    """The occlusion SB must shrink when pool + unrolled stacks +
+    headroom exceed the _cparams scoped-vmem ceiling (at RAY_BLOCK=1024
+    a 48 MB pool with 8 walks would OOM at Mosaic compile time); the
+    measured RAY_BLOCK=512 configs keep SB=8 unchanged."""
+    from ntracer_tpu.engine import resident_kernels as rk
+
+    monkeypatch.delenv("NTRACER_OCC_SB", raising=False)
+    pool48 = 48 * 1024 * 1024
+    # default width: 48 MB pool still fits 8 unrolled walks
+    assert rk._occ_sub_blocks(2048, pool48) == 8
+    assert rk._occ_sub_blocks(2048, 0) == 8
+    # doubled walk width (the NTRACER_RAY_BLOCK=1024 sweep knob): stacks
+    # double, the 48 MB pool no longer fits SB=8 under the 110 MB cap
+    monkeypatch.setattr(rk, "RAY_BLOCK", 1024)
+    sb = rk._occ_sub_blocks(1024, pool48)
+    assert sb < 8
+    cap = 110 * 1024 * 1024
+    assert pool48 + rk._occ_stack_bytes(sb) + 24 * 1024 * 1024 <= cap
+    # env override is clamped to the budget maximum too
+    monkeypatch.setenv("NTRACER_OCC_SB", "8")
+    assert rk._occ_sub_blocks(1024, pool48) <= sb
