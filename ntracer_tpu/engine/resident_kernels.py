@@ -903,7 +903,32 @@ def nearest_hit(res, o, dirs, skip, d, order=None, dmin=None, active=None,
     return out_t[0], gid, counts[0, ::RAY_BLOCK]
 
 
-def _occlusion_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occ_cand():
+    """Candidate chunks selected per occlusion-walk iteration
+    (NTRACER_OCC_CAND; must be 1 or even for the 14-bit scalar packing).
+    Each while-iteration pays one serialized vector->scalar round trip,
+    so grouping amortizes it across CAND visits — at the price of a
+    stale saturation bound for the group (up to 2*CAND-1 extra chunk
+    visits per block at walk end, each exact no-ops: `blocked` is a
+    monotone OR of per-ray ``t < ldist`` tests, so any superset of the
+    necessary chunks yields the identical result).  Occlusion walks
+    average ~5-6 visits/block on the reflective scene (vs ~10 for the
+    nearest walk, where P_CAND=4 is the measured winner), hence the
+    separate knob."""
+    import os
+    v = os.environ.get("NTRACER_OCC_CAND")
+    if not v:
+        return 4
+    try:
+        n = int(v)
+    except ValueError:
+        return 4
+    if n != 1 and n % 2:
+        n += 1
+    return max(1, n)
+
+
+def _occlusion_kernel(d, ck, SB, cand, o_ref, dir_ref, skip_ref, ldist_ref,
                       order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                       gt_ref, ci_ref, ids_ref,
                       out_ref, count_ref, blocked):
@@ -931,15 +956,16 @@ def _occlusion_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
     @pl.when(_step_live(blive_ref, SB))
     def _live_step():
         for sb in range(SB):
-            _occlusion_walk(d, ck, sb, base, o_ref, dir_ref, skip_ref,
-                            ldist_ref, order_ref, neff_ref, blive_ref,
-                            klo_t_ref, khi_t_ref, gt_ref, ci_ref, ids_ref,
-                            out_ref, count_ref, blocked)
+            _occlusion_walk(d, ck, sb, base, cand, o_ref, dir_ref,
+                            skip_ref, ldist_ref, order_ref, neff_ref,
+                            blive_ref, klo_t_ref, khi_t_ref, gt_ref,
+                            ci_ref, ids_ref, out_ref, count_ref, blocked)
 
 
-def _occlusion_walk(d, ck, sb, base, o_ref, dir_ref, skip_ref, ldist_ref,
-                    order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
-                    gt_ref, ci_ref, ids_ref, out_ref, count_ref, blocked):
+def _occlusion_walk(d, ck, sb, base, cand, o_ref, dir_ref, skip_ref,
+                    ldist_ref, order_ref, neff_ref, blive_ref, klo_t_ref,
+                    khi_t_ref, gt_ref, ci_ref, ids_ref, out_ref, count_ref,
+                    blocked):
     sl = slice(sb * RAY_BLOCK, (sb + 1) * RAY_BLOCK)
 
     @pl.when(blive_ref[base + sb] != 0)
@@ -952,43 +978,94 @@ def _occlusion_walk(d, ck, sb, base, o_ref, dir_ref, skip_ref, ldist_ref,
         blocked[:] = jnp.zeros((RAY_BLOCK, 1), jnp.int32)
         n_eff = neff_ref[0]
 
-        # vectorized candidate scan with a single, latency-hidden
-        # scalar sync per iteration (see _nearest_kernel).
+        # vectorized candidate scan (see _nearest_kernel); ``cand``
+        # positions are extracted per iteration (two per packed scalar)
+        # so the serialized vector->scalar round trip amortizes across
+        # the group.  The group shares one pre-update saturation bound;
+        # the extra tail visits that buys are exact no-ops (`blocked`
+        # is a monotone OR of per-ray ``t < ldist`` tests — any
+        # superset of the necessary chunks gives the identical result;
+        # a pruned chunk has emin >= every unblocked ray's ldist, so
+        # nothing it contains can pass the in-visit test).
         emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)  # (1, ncp)
         ncp = emin.shape[1]
         posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
-        def find_next(k0):
-            lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+        def lmax():
+            return jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
                            axis=0, keepdims=True)               # (1, 1)
-            cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
-            return jnp.min(jnp.where(cand, posi, BIG_POS))
 
-        def body(state):
-            k, _, visited = state
-            nxt = find_next(k + 1)
-            idx = order_ref[k]
+        def chunk_pass(kpos, live):
+            idx = order_ref[jnp.minimum(kpos, n_eff - 1)]
             t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref,
                                    ids_ref, idx, o8, d8, skip)
             valid &= t < ldist
-            hit = jnp.any(valid, axis=1, keepdims=True)
+            hit = jnp.any(valid, axis=1, keepdims=True) & live
             blocked[:] = jnp.where(hit, 1, blocked[:])
-            return nxt, nxt < BIG_POS, visited + 1
+            return live.astype(jnp.int32)
 
-        k0 = find_next(jnp.int32(0))
-        _, _, visited = jax.lax.while_loop(
-            lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
+        if cand == 1:
+            def find_next(k0):
+                c = (emin < lmax()) & (posi >= k0) & (posi < n_eff)
+                return jnp.min(jnp.where(c, posi, BIG_POS))
+
+            def body(state):
+                k, _, visited = state
+                nxt = find_next(k + 1)
+                visited += chunk_pass(k, jnp.bool_(True))
+                return nxt, nxt < BIG_POS, visited
+
+            k0 = find_next(jnp.int32(0))
+            _, _, visited = jax.lax.while_loop(
+                lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
+        else:
+            SENT = jnp.int32((1 << 14) - 1)
+
+            def find_cands(k0v):
+                c = (emin < lmax()) & (posi >= k0v) & (posi < n_eff)
+                cp = jnp.where(c, posi, SENT)
+                cs = []
+                for _ in range(cand):
+                    cmin = jnp.min(cp, axis=1, keepdims=True)
+                    cs.append(cmin)
+                    cp = jnp.where(posi > cmin, cp, SENT)
+                return tuple(cs[i] * (SENT + 1) + cs[i + 1]
+                             for i in range(0, cand, 2))
+
+            def body(state):
+                packed = state[:-2]
+                visited = state[-1]
+                last = packed[-1]
+                # next group scanned with the pre-update bound so the
+                # scalar extractions overlap the chunk passes below
+                nxt = find_cands(jnp.maximum(last % (SENT + 1),
+                                             last // (SENT + 1)) + 1)
+                for pv in packed:
+                    ka, kb = pv // (SENT + 1), pv % (SENT + 1)
+                    visited += chunk_pass(ka, ka < SENT)
+                    visited += chunk_pass(kb, kb < SENT)
+                nv = tuple(v[0, 0] for v in nxt)
+                return nv + (nv[0] // (SENT + 1) < SENT, visited)
+
+            iv = tuple(v[0, 0]
+                       for v in find_cands(jnp.zeros((1, 1), jnp.int32)))
+            st = jax.lax.while_loop(
+                lambda s: s[-2], body,
+                iv + (iv[0] // (SENT + 1) < SENT, jnp.int32(0)))
+            visited = st[-1]
         out_ref[0:1, sl] = blocked[:].T
         count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited,
                                       jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d",))
-def occluded(res, o, dirs, ldist, skip, d, order=None):
+@partial(jax.jit, static_argnames=("d", "cand"))
+def occluded(res, o, dirs, ldist, skip, d, order=None, cand=None):
     """Any-hit within distance over the resident pool.  Rays with
     ``ldist <= 0`` are inactive (compacted-away shadow queries cost
     nothing once every live ray is resolved).  Returns (blocked (R,) bool,
-    visited (ni,) i32)."""
+    visited (ni,) i32).  ``cand``: candidate chunks extracted per walk
+    iteration (default NTRACER_OCC_CAND / 4; bit-identical ``blocked``
+    across values — see _occ_cand)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
@@ -1008,8 +1085,10 @@ def occluded(res, o, dirs, ldist, skip, d, order=None):
     blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
         .astype(jnp.int32)
 
+    if cand is None:
+        cand = _occ_cand()
     out, counts = pl.pallas_call(
-        partial(_occlusion_kernel, d, ck, SB),
+        partial(_occlusion_kernel, d, ck, SB, cand),
         grid=(ni // SB,),
         interpret=_interpret(),
         compiler_params=_cparams(_pool_bytes(res), _occ_stack_bytes(SB)),
@@ -1120,6 +1199,13 @@ def _nearest_t_live(d, ck, K, shared, o_ref, dir_ref, skip_ref, init_t_ref,
         # processed unconditionally (see _nearest_kernel).  Extra visits
         # are exact: the K-buffer keeps the K smallest inserted, so far
         # hits that downstream filtering drops cannot evict nearer ones.
+        # This walk deliberately does NOT use the grouped candidate
+        # extraction (_occ_cand): a stale-bound superset schedule can
+        # interleave far hits into the K buffer, permuting the SLOT
+        # assignment of later near hits — the downstream stable sort
+        # would then compose exactly-tied transparent hits (coincident
+        # coplanar surfaces at shared edges) in a different order.  The
+        # occlusion walks' outputs are order-invariant; this one is not.
         nxt = find_next(k + 1)
         idx = order_ref[k]
         t, valid = _chunk_hits(d, ck, shared, gt_ref, ci_ref, ids_ref,
@@ -1237,7 +1323,7 @@ def nearest_hit_transparent(res, o, dirs, skip, d, K, order=None, dmin=None,
     return out_t[0], gid, out_tt.T, tgidT.T, counts[0, ::RAY_BLOCK]
 
 
-def _occl_t_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occl_t_kernel(d, ck, SB, cand, o_ref, dir_ref, skip_ref, ldist_ref,
                    order_ref, neff_ref, blive_ref, klo_t_ref, khi_t_ref,
                    gt_ref, ci_ref, ids_ref, opa_ref,
                    out_ref, filt_ref, count_ref,
@@ -1261,13 +1347,13 @@ def _occl_t_kernel(d, ck, SB, o_ref, dir_ref, skip_ref, ldist_ref,
 
             @pl.when(blive_ref[base + sb] != 0)
             def _walk(sl=sl):
-                _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref,
+                _occl_t_live(d, ck, sl, cand, o_ref, dir_ref, skip_ref,
                              ldist_ref, order_ref, neff_ref, klo_t_ref,
                              khi_t_ref, gt_ref, ci_ref, ids_ref, opa_ref,
                              out_ref, filt_ref, count_ref, blocked, filt)
 
 
-def _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
+def _occl_t_live(d, ck, sl, cand, o_ref, dir_ref, skip_ref, ldist_ref,
                  order_ref, neff_ref, klo_t_ref, khi_t_ref,
                  gt_ref, ci_ref, ids_ref, opa_ref,
                  out_ref, filt_ref, count_ref,
@@ -1281,32 +1367,31 @@ def _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
     filt[:] = jnp.ones((RAY_BLOCK, 1), f32)
     n_eff = neff_ref[0]
 
-    # vectorized candidate scan (see _nearest_kernel); a chunk with
-    # emin >= max unblocked ldist can affect neither blocked nor filt
+    # vectorized candidate scan with grouped extraction (see
+    # _occlusion_walk / _occ_cand); a chunk with emin >= max unblocked
+    # ldist can affect neither blocked nor filt.  Extra (stale-bound)
+    # visits are exact: the per-ray ``t < ldist`` filter makes blocked —
+    # and filt for every UNBLOCKED ray — independent of which superset
+    # of necessary chunks is walked (a pruned chunk has emin >= every
+    # unblocked ray's ldist, so none of its hits pass the in-visit
+    # test; blocked rays' filt is a don't-care downstream: light only
+    # reaches where ~blocked).
     emin = _entry_min_all(d, o8, d8, klo_t_ref, khi_t_ref)   # (1, ncp)
     ncp = emin.shape[1]
     posi = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
 
-    def find_next(k0):
-        lmax = jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
+    def lmax():
+        return jnp.max(jnp.where(blocked[:] == 0, ldist, 0.0),
                        axis=0, keepdims=True)                   # (1, 1)
-        cand = (emin < lmax) & (posi >= k0) & (posi < n_eff)
-        return jnp.min(jnp.where(cand, posi, BIG_POS))
 
-    def body(state):
-        k, _, visited = state
-        # single, latency-hidden scalar sync per iteration (see
-        # _nearest_kernel).  Extra visits are exact: the per-ray
-        # ``t < ldist`` filter makes both blocked and filt independent of
-        # which superset of necessary chunks is walked.
-        nxt = find_next(k + 1)
-        idx = order_ref[k]
+    def chunk_pass(kpos, live):
+        idx = order_ref[jnp.minimum(kpos, n_eff - 1)]
         t, valid = _chunk_hits(d, ck, False, gt_ref, ci_ref, ids_ref,
                                idx, o8, d8, skip)
         valid &= t < ldist
         op = opa_ref[idx][0:1, :]
         opaq = op >= 1.0
-        hit = jnp.any(valid & opaq, axis=1, keepdims=True)
+        hit = jnp.any(valid & opaq, axis=1, keepdims=True) & live
         blocked[:] = jnp.where(hit, 1, blocked[:])
         tr = valid & jnp.logical_not(opaq)
         # lane product via a binary tree: Mosaic has no reduce_prod
@@ -1317,28 +1402,77 @@ def _occl_t_live(d, ck, sl, o_ref, dir_ref, skip_ref, ldist_ref,
             assert w % 2 == 0
             w //= 2
             v = v[:, :w] * v[:, w:2 * w]
-        filt[:] = filt[:] * v
+        filt[:] = filt[:] * jnp.where(live, v, 1.0)
+        return live.astype(jnp.int32)
 
-        return nxt, nxt < BIG_POS, visited + 1
+    if cand == 1:
+        def find_next(k0):
+            c = (emin < lmax()) & (posi >= k0) & (posi < n_eff)
+            return jnp.min(jnp.where(c, posi, BIG_POS))
 
-    k0 = find_next(jnp.int32(0))
-    _, _, visited = jax.lax.while_loop(
-        lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
+        def body(state):
+            k, _, visited = state
+            nxt = find_next(k + 1)
+            visited += chunk_pass(k, jnp.bool_(True))
+            return nxt, nxt < BIG_POS, visited
+
+        k0 = find_next(jnp.int32(0))
+        _, _, visited = jax.lax.while_loop(
+            lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
+    else:
+        SENT = jnp.int32((1 << 14) - 1)
+
+        def find_cands(k0v):
+            c = (emin < lmax()) & (posi >= k0v) & (posi < n_eff)
+            cp = jnp.where(c, posi, SENT)
+            cs = []
+            for _ in range(cand):
+                cmin = jnp.min(cp, axis=1, keepdims=True)
+                cs.append(cmin)
+                cp = jnp.where(posi > cmin, cp, SENT)
+            return tuple(cs[i] * (SENT + 1) + cs[i + 1]
+                         for i in range(0, cand, 2))
+
+        def body(state):
+            packed = state[:-2]
+            visited = state[-1]
+            last = packed[-1]
+            nxt = find_cands(jnp.maximum(last % (SENT + 1),
+                                         last // (SENT + 1)) + 1)
+            for pv in packed:
+                ka, kb = pv // (SENT + 1), pv % (SENT + 1)
+                visited += chunk_pass(ka, ka < SENT)
+                visited += chunk_pass(kb, kb < SENT)
+            nv = tuple(v[0, 0] for v in nxt)
+            return nv + (nv[0] // (SENT + 1) < SENT, visited)
+
+        iv = tuple(v[0, 0]
+                   for v in find_cands(jnp.zeros((1, 1), jnp.int32)))
+        st = jax.lax.while_loop(
+            lambda s: s[-2], body,
+            iv + (iv[0] // (SENT + 1) < SENT, jnp.int32(0)))
+        visited = st[-1]
     out_ref[0:1, sl] = blocked[:].T
     filt_ref[0:1, sl] = filt[:].T
     count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("d",))
-def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
+@partial(jax.jit, static_argnames=("d", "cand"))
+def occluded_transparent(res, o, dirs, ldist, skip, d, order=None,
+                         cand=None):
     """Any-opaque-hit + transparency filter product within distance.
-    Returns (blocked (R,), filt (R,), visited)."""
+    Returns (blocked (R,), filt (R,), visited).  ``cand``: candidate
+    chunks per walk iteration (default NTRACER_OCC_CAND / 4; `blocked`
+    and unblocked rays' `filt` are bit-identical across values — see
+    _occ_cand and the walk docstring)."""
     R = o.shape[0]
     nc, pr, ck = res["gt"].shape
     _check_nc(nc)
     ni = R // RAY_BLOCK
     SB = _occ_sub_blocks(ni, _pool_bytes(res))
     RB = SB * RAY_BLOCK
+    if cand is None:
+        cand = _occ_cand()
     if order is None:
         order = res["base_order"]
     # lane-major boundary (see nearest_hit)
@@ -1355,7 +1489,7 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None):
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.VMEM)
     out, filt, counts = pl.pallas_call(
-        partial(_occl_t_kernel, d, ck, SB),
+        partial(_occl_t_kernel, d, ck, SB, cand),
         grid=(ni // SB,),
         interpret=_interpret(),
         compiler_params=_cparams(_pool_bytes(res), _occ_stack_bytes(SB)),

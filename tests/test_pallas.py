@@ -215,6 +215,79 @@ def test_resident_occlusion_matches_xla_path():
     assert np.array_equal(np.asarray(blocked) & m, np.asarray(jb) & m)
 
 
+def test_occluded_candidate_grouping_bit_identical():
+    """Grouped candidate extraction (cand=2/4) walks a superset of the
+    cand=1 schedule's chunks, but `blocked` is a monotone OR of exact
+    per-ray ``t < ldist`` tests — results must be bit-identical; only
+    the visit counters may grow (stale-bound tail visits)."""
+    scene = _scene_big()
+    n = rk.RAY_BLOCK
+    cfg, device, res, o, dirs = _res_and_rays(scene, n)
+    skip = jnp.full((n,), -1, jnp.int32)
+
+    ref = wavefront.trace_pool(device, cfg, o, dirs, skip)
+    m = np.asarray(ref["pid"]) >= 0
+    point = jnp.asarray(np.asarray(ref["point"]))
+    ld = jnp.asarray(np.where(m, 6.0, 0.0).astype(np.float32))
+    up = jnp.asarray(np.tile(np.array([[0, 1, 0]], np.float32), (n, 1)))
+
+    b1, c1 = rk.occluded(res, point, up, ld, ref["pid"], cfg.d, cand=1)
+    for cand in (2, 4):
+        bg, cg = rk.occluded(res, point, up, ld, ref["pid"], cfg.d,
+                             cand=cand)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(bg))
+        assert (np.asarray(cg) >= np.asarray(c1)).all()
+
+
+def test_occluded_transparent_candidate_grouping():
+    """Grouped candidates in the transparent occlusion walk: `blocked`
+    bit-identical (monotone OR of exact tests); `filt` bit-identical on
+    UNBLOCKED rays (extra visits contribute exact 1.0 factors there);
+    blocked rays' filt is a documented don't-care (light only reaches
+    where ~blocked)."""
+    glass = Material((1, 0.7, 0.7), opacity=0.4)
+    solid_m = Material((0.3, 0.8, 0.5))
+    rng = np.random.RandomState(31)
+    nt = NTracer(3)
+    protos = []
+    for i in range(600):
+        base = rng.uniform(-2, 2, 3)
+        pts = [nt.Vector(*(base + rng.uniform(-0.4, 0.4, 3)))
+               for _ in range(3)]
+        protos.append(nt.TrianglePrototype(pts, glass if i % 2 else solid_m))
+    scene = nt.build_composite_scene(protos)
+    cam = nt.Camera()
+    cam.translate(nt.Vector(0, 0, -8))
+    scene.set_camera(cam)
+
+    n = rk.RAY_BLOCK
+    cfg, device, res, o, dirs = _res_and_rays(scene, n)
+    res = dict(res)
+    opac = np.asarray(device["tri_opacity"])
+    res = rk.add_opacity({k: np.asarray(v) if hasattr(v, "shape") else v
+                          for k, v in res.items()}, opac)
+    res = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+           for k, v in res.items()}
+    skip = jnp.full((n,), -1, jnp.int32)
+    ref = wavefront.trace_pool(device, cfg, o, dirs, skip)
+    m = np.asarray(ref["pid"]) >= 0
+    point = jnp.asarray(np.asarray(ref["point"]))
+    ld = jnp.asarray(np.where(m, 6.0, 0.0).astype(np.float32))
+    up = jnp.asarray(np.tile(np.array([[0, 1, 0]], np.float32), (n, 1)))
+
+    b1, f1, c1 = rk.occluded_transparent(res, point, up, ld, ref["pid"],
+                                         cfg.d, cand=1)
+    unb = m & ~np.asarray(b1)
+    assert unb.any() and (m & np.asarray(b1)).any()
+    for cand in (2, 4):
+        bg, fg, cg = rk.occluded_transparent(res, point, up, ld,
+                                             ref["pid"], cfg.d, cand=cand)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(bg))
+        np.testing.assert_array_equal(np.asarray(f1)[unb],
+                                      np.asarray(fg)[unb])
+        assert (np.asarray(cg) >= np.asarray(c1)).all()
+
+
 def test_engine_resident_path_matches_oracle(monkeypatch):
     """Full engine (render_strip_composite) through the resident kernels in
     interpreter mode, vs the scalar oracle — shadows + reflections exercise
