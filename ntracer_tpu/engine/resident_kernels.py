@@ -922,10 +922,95 @@ def _occ_cand():
     try:
         n = int(v)
     except ValueError:
+        import warnings
+        warnings.warn(f"NTRACER_OCC_CAND={v!r} is not an integer; using 4")
         return 4
+    if n < 1:
+        import warnings
+        warnings.warn(f"NTRACER_OCC_CAND={n} must be >= 1; using 1")
+        return 1
     if n != 1 and n % 2:
+        import warnings
+        warnings.warn(f"NTRACER_OCC_CAND={n} must be 1 or even (two "
+                      f"candidates pack per scalar); using {n + 1}")
         n += 1
-    return max(1, n)
+    return n
+
+
+def _check_cand(cand):
+    """Validate a candidate-group size (explicit kwarg or env default):
+    the packed extraction pairs candidates two per 14-bit scalar, so
+    the group must be 1 or a positive even number."""
+    if cand != 1 and (cand < 1 or cand % 2):
+        raise ValueError(
+            f"cand={cand}: must be 1 or a positive even number "
+            "(candidates pack two per 14-bit scalar)")
+    return cand
+
+
+def _candidate_walk(cand, emin, posi, n_eff, lmax, chunk_pass):
+    """Front-to-back candidate scan shared by both occlusion walks.
+
+    Visits every chunk position with ``emin < lmax()`` in ascending
+    order.  ``cand > 1`` extracts that many candidates per
+    while-iteration (two per packed 14-bit scalar) so the serialized
+    vector->scalar round trip amortizes across the group; each group
+    is selected with the pre-update saturation bound (the scalar
+    extractions overlap the chunk passes), and the extra tail visits
+    that buys are exact no-ops for both occlusion walks (see their
+    in-kernel comments).  ``lmax()`` returns the (1, 1) saturation
+    bound; ``chunk_pass(kpos, live)`` performs one visit and returns
+    ``live`` as i32.  Returns the live-visit count."""
+    if cand == 1:
+        def find_next(k0):
+            c = (emin < lmax()) & (posi >= k0) & (posi < n_eff)
+            return jnp.min(jnp.where(c, posi, BIG_POS))
+
+        def body(state):
+            k, _, visited = state
+            nxt = find_next(k + 1)
+            visited += chunk_pass(k, jnp.bool_(True))
+            return nxt, nxt < BIG_POS, visited
+
+        k0 = find_next(jnp.int32(0))
+        _, _, visited = jax.lax.while_loop(
+            lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
+        return visited
+
+    SENT = jnp.int32((1 << 14) - 1)
+
+    def find_cands(k0v):
+        c = (emin < lmax()) & (posi >= k0v) & (posi < n_eff)
+        cp = jnp.where(c, posi, SENT)
+        cs = []
+        for _ in range(cand):
+            cmin = jnp.min(cp, axis=1, keepdims=True)
+            cs.append(cmin)
+            cp = jnp.where(posi > cmin, cp, SENT)
+        return tuple(cs[i] * (SENT + 1) + cs[i + 1]
+                     for i in range(0, cand, 2))
+
+    def body(state):
+        packed = state[:-2]
+        visited = state[-1]
+        last = packed[-1]
+        # next group scanned with the pre-update bound so the scalar
+        # extractions overlap the chunk passes below
+        nxt = find_cands(jnp.maximum(last % (SENT + 1),
+                                     last // (SENT + 1)) + 1)
+        for pv in packed:
+            ka, kb = pv // (SENT + 1), pv % (SENT + 1)
+            visited += chunk_pass(ka, ka < SENT)
+            visited += chunk_pass(kb, kb < SENT)
+        nv = tuple(v[0, 0] for v in nxt)
+        return nv + (nv[0] // (SENT + 1) < SENT, visited)
+
+    iv = tuple(v[0, 0]
+               for v in find_cands(jnp.zeros((1, 1), jnp.int32)))
+    st = jax.lax.while_loop(
+        lambda s: s[-2], body,
+        iv + (iv[0] // (SENT + 1) < SENT, jnp.int32(0)))
+    return st[-1]
 
 
 def _occlusion_kernel(d, ck, SB, cand, o_ref, dir_ref, skip_ref, ldist_ref,
@@ -1004,55 +1089,8 @@ def _occlusion_walk(d, ck, sb, base, cand, o_ref, dir_ref, skip_ref,
             blocked[:] = jnp.where(hit, 1, blocked[:])
             return live.astype(jnp.int32)
 
-        if cand == 1:
-            def find_next(k0):
-                c = (emin < lmax()) & (posi >= k0) & (posi < n_eff)
-                return jnp.min(jnp.where(c, posi, BIG_POS))
-
-            def body(state):
-                k, _, visited = state
-                nxt = find_next(k + 1)
-                visited += chunk_pass(k, jnp.bool_(True))
-                return nxt, nxt < BIG_POS, visited
-
-            k0 = find_next(jnp.int32(0))
-            _, _, visited = jax.lax.while_loop(
-                lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-        else:
-            SENT = jnp.int32((1 << 14) - 1)
-
-            def find_cands(k0v):
-                c = (emin < lmax()) & (posi >= k0v) & (posi < n_eff)
-                cp = jnp.where(c, posi, SENT)
-                cs = []
-                for _ in range(cand):
-                    cmin = jnp.min(cp, axis=1, keepdims=True)
-                    cs.append(cmin)
-                    cp = jnp.where(posi > cmin, cp, SENT)
-                return tuple(cs[i] * (SENT + 1) + cs[i + 1]
-                             for i in range(0, cand, 2))
-
-            def body(state):
-                packed = state[:-2]
-                visited = state[-1]
-                last = packed[-1]
-                # next group scanned with the pre-update bound so the
-                # scalar extractions overlap the chunk passes below
-                nxt = find_cands(jnp.maximum(last % (SENT + 1),
-                                             last // (SENT + 1)) + 1)
-                for pv in packed:
-                    ka, kb = pv // (SENT + 1), pv % (SENT + 1)
-                    visited += chunk_pass(ka, ka < SENT)
-                    visited += chunk_pass(kb, kb < SENT)
-                nv = tuple(v[0, 0] for v in nxt)
-                return nv + (nv[0] // (SENT + 1) < SENT, visited)
-
-            iv = tuple(v[0, 0]
-                       for v in find_cands(jnp.zeros((1, 1), jnp.int32)))
-            st = jax.lax.while_loop(
-                lambda s: s[-2], body,
-                iv + (iv[0] // (SENT + 1) < SENT, jnp.int32(0)))
-            visited = st[-1]
+        visited = _candidate_walk(cand, emin, posi, n_eff, lmax,
+                                  chunk_pass)
         out_ref[0:1, sl] = blocked[:].T
         count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited,
                                       jnp.int32)
@@ -1085,8 +1123,7 @@ def occluded(res, o, dirs, ldist, skip, d, order=None, cand=None):
     blive = (jnp.max(ldist.reshape(ni, RAY_BLOCK), axis=1) > 0) \
         .astype(jnp.int32)
 
-    if cand is None:
-        cand = _occ_cand()
+    cand = _check_cand(_occ_cand() if cand is None else cand)
     out, counts = pl.pallas_call(
         partial(_occlusion_kernel, d, ck, SB, cand),
         grid=(ni // SB,),
@@ -1405,53 +1442,7 @@ def _occl_t_live(d, ck, sl, cand, o_ref, dir_ref, skip_ref, ldist_ref,
         filt[:] = filt[:] * jnp.where(live, v, 1.0)
         return live.astype(jnp.int32)
 
-    if cand == 1:
-        def find_next(k0):
-            c = (emin < lmax()) & (posi >= k0) & (posi < n_eff)
-            return jnp.min(jnp.where(c, posi, BIG_POS))
-
-        def body(state):
-            k, _, visited = state
-            nxt = find_next(k + 1)
-            visited += chunk_pass(k, jnp.bool_(True))
-            return nxt, nxt < BIG_POS, visited
-
-        k0 = find_next(jnp.int32(0))
-        _, _, visited = jax.lax.while_loop(
-            lambda s: s[1], body, (k0, k0 < BIG_POS, jnp.int32(0)))
-    else:
-        SENT = jnp.int32((1 << 14) - 1)
-
-        def find_cands(k0v):
-            c = (emin < lmax()) & (posi >= k0v) & (posi < n_eff)
-            cp = jnp.where(c, posi, SENT)
-            cs = []
-            for _ in range(cand):
-                cmin = jnp.min(cp, axis=1, keepdims=True)
-                cs.append(cmin)
-                cp = jnp.where(posi > cmin, cp, SENT)
-            return tuple(cs[i] * (SENT + 1) + cs[i + 1]
-                         for i in range(0, cand, 2))
-
-        def body(state):
-            packed = state[:-2]
-            visited = state[-1]
-            last = packed[-1]
-            nxt = find_cands(jnp.maximum(last % (SENT + 1),
-                                         last // (SENT + 1)) + 1)
-            for pv in packed:
-                ka, kb = pv // (SENT + 1), pv % (SENT + 1)
-                visited += chunk_pass(ka, ka < SENT)
-                visited += chunk_pass(kb, kb < SENT)
-            nv = tuple(v[0, 0] for v in nxt)
-            return nv + (nv[0] // (SENT + 1) < SENT, visited)
-
-        iv = tuple(v[0, 0]
-                   for v in find_cands(jnp.zeros((1, 1), jnp.int32)))
-        st = jax.lax.while_loop(
-            lambda s: s[-2], body,
-            iv + (iv[0] // (SENT + 1) < SENT, jnp.int32(0)))
-        visited = st[-1]
+    visited = _candidate_walk(cand, emin, posi, n_eff, lmax, chunk_pass)
     out_ref[0:1, sl] = blocked[:].T
     filt_ref[0:1, sl] = filt[:].T
     count_ref[0:1, sl] = jnp.full((1, RAY_BLOCK), visited, jnp.int32)
@@ -1471,8 +1462,7 @@ def occluded_transparent(res, o, dirs, ldist, skip, d, order=None,
     ni = R // RAY_BLOCK
     SB = _occ_sub_blocks(ni, _pool_bytes(res))
     RB = SB * RAY_BLOCK
-    if cand is None:
-        cand = _occ_cand()
+    cand = _check_cand(_occ_cand() if cand is None else cand)
     if order is None:
         order = res["base_order"]
     # lane-major boundary (see nearest_hit)
