@@ -288,6 +288,32 @@ def test_occluded_transparent_candidate_grouping():
         assert (np.asarray(cg) >= np.asarray(c1)).all()
 
 
+def test_occlusion_cand_validation():
+    """Explicit odd cand > 1 must raise (candidates pack two per 14-bit
+    scalar); bad NTRACER_OCC_CAND env values warn and coerce instead of
+    silently mislabeling a sweep."""
+    import os
+    import warnings
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must be 1 or a positive even"):
+        rk._check_cand(3)
+    with pytest.raises(ValueError):
+        rk._check_cand(0)
+    assert rk._check_cand(1) == 1 and rk._check_cand(4) == 4
+
+    for val, expect in (("3", 4), ("two", 4), ("-2", 1)):
+        os.environ["NTRACER_OCC_CAND"] = val
+        try:
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                assert rk._occ_cand() == expect
+                assert w and "NTRACER_OCC_CAND" in str(w[0].message)
+        finally:
+            del os.environ["NTRACER_OCC_CAND"]
+
+
 def test_engine_resident_path_matches_oracle(monkeypatch):
     """Full engine (render_strip_composite) through the resident kernels in
     interpreter mode, vs the scalar oracle — shadows + reflections exercise
