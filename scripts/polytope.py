@@ -477,14 +477,21 @@ def main():
                 print(f"frame {f+1}/{args.frames}", end="\r")
             print()
         else:
+            # the reference pipes 16-bit big-endian frames to the encoder
+            # (rgb48be, reference polytope.py:597-608); the wide format
+            # routes through the exact host packer
+            fmt16 = ImageFormat(w, h, [Channel(16, 1, 0, 0),
+                                       Channel(16, 0, 1, 0),
+                                       Channel(16, 0, 0, 1)])
+            buf16 = bytearray(fmt16.pitch * fmt16.height)
             proc = subprocess.Popen(
-                ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+                ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb48be",
                  "-s", f"{w}x{h}", "-r", "60", "-i", "-", "-c:v", args.type,
                  "-pix_fmt", "yuv420p", args.output],
                 stdin=subprocess.PIPE)
             for f in range(args.frames):
-                renderer.render(buf, fmt, scene)
-                proc.stdin.write(bytes(buf))
+                renderer.render(buf16, fmt16, scene)
+                proc.stdin.write(bytes(buf16))
                 advance_camera()
                 print(f"frame {f+1}/{args.frames}", end="\r")
             proc.stdin.close()

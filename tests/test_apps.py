@@ -139,6 +139,55 @@ def test_polytope_png_output(tmp_path):
     assert files == ["frame0000.png"]
 
 
+def test_polytope_ffmpeg_pipe_rgb48be(tmp_path):
+    """polytope.py --output FILE -t <codec> pipes 16-bit big-endian
+    frames (rgb48be) to the encoder like the reference
+    (polytope.py:597-608).  ffmpeg isn't in the image, so a stub on
+    PATH dumps the raw pipe; the stream must decode as >u2 RGB whose
+    high bytes match the 8-bit PNG frame of the same view within 1."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    w = h = 32
+    env = dict(os.environ, JAX_PLATFORMS="cpu", NTRACER_PLATFORM="cpu",
+               SDL_VIDEODRIVER="dummy")
+
+    png_dir = tmp_path / "png"
+    png_dir.mkdir()
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "polytope.py"),
+         "4", "3", "--output", str(png_dir), "-t", "png", "-s",
+         f"{w}x{h}", "-f", "1"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    png = np.asarray(Image.open(png_dir / "frame0000.png"))
+
+    fake_bin = tmp_path / "bin"
+    fake_bin.mkdir()
+    raw_out = tmp_path / "video.raw"
+    stub = fake_bin / "ffmpeg"
+    stub.write_text("#!/bin/sh\nfor a in \"$@\"; do out=\"$a\"; done\n"
+                    "cat > \"$out\"\n")
+    stub.chmod(0o755)
+    env_v = dict(env, PATH=f"{fake_bin}:{env.get('PATH', '')}")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "polytope.py"),
+         "4", "3", "--output", str(raw_out), "-t", "libx264", "-s",
+         f"{w}x{h}", "-f", "1"],
+        capture_output=True, text=True, timeout=900, env=env_v)
+    assert r.returncode == 0, r.stderr[-500:]
+
+    raw = raw_out.read_bytes()
+    assert len(raw) == w * h * 6          # one rgb48be frame
+    u16 = np.frombuffer(raw, ">u2").reshape(h, w, 3)
+    assert u16.any()
+    hi = (u16 >> 8).astype(np.int32)
+    assert np.abs(hi - png.astype(np.int32)).max() <= 1
+
+
 def test_polytope_benchmark_pipelined(tmp_path):
     """polytope.py --benchmark drives the pipelined CallbackRenderer path
     (several frames in flight); it must complete and report stats."""
