@@ -484,9 +484,13 @@ def main():
                                        Channel(16, 0, 1, 0),
                                        Channel(16, 0, 0, 1)])
             buf16 = bytearray(fmt16.pitch * fmt16.height)
+            # -an/-crf 10 match the reference encode settings
+            # (polytope.py:610-612); yuv420p is kept for player
+            # compatibility (the reference leaves libx264 at yuv444p)
             proc = subprocess.Popen(
                 ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb48be",
-                 "-s", f"{w}x{h}", "-r", "60", "-i", "-", "-c:v", args.type,
+                 "-s", f"{w}x{h}", "-r", "60", "-i", "-", "-an",
+                 "-c:v", args.type, "-crf", "10",
                  "-pix_fmt", "yuv420p", args.output],
                 stdin=subprocess.PIPE)
             for f in range(args.frames):
